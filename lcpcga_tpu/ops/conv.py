@@ -1,0 +1,131 @@
+"""Sparse convolution apply + flax modules.
+
+TPU-native replacement for MinkowskiConvolution /
+MinkowskiGenerativeConvolutionTranspose / MinkowskiAvgPooling (external
+MinkowskiEngine dependency of the reference; used by every layer in
+/root/reference/model/). A convolution here is a pure gather-GEMM over a
+precomputed kernel map (ops/sparse.kernel_map):
+
+    out[m] = bias + sum_k  W[k] @ feats[nbr[m, k]]
+
+with the miss convention nbr == N reading a zero row. Two execution
+paths:
+
+  * ``im2col``: one [B, M, K*Cin] x [K*Cin, Cout] matmul — maximal MXU
+    utilization, used when the gathered buffer fits comfortably in HBM;
+  * ``scan``: accumulate over the K taps — O(M*Cout) live memory, used
+    at full voxel resolution (~1M points x 27 taps).
+
+Weight layout [K, Cin, Cout]; K = kernel_size**3 taps ordered
+lexicographically (ops/coords.conv_offsets).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .sparse import SparseTensor, gather_rows
+
+# Gathered im2col buffers up to this many elements use the single-matmul
+# path (f32: 64 MB per 16M elements).
+IM2COL_ELEMENT_LIMIT = 1 << 25
+
+
+def sparse_conv_apply(
+    feats: jax.Array,
+    nbr: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+    out_valid: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Apply a sparse conv. feats [B,N,Cin], nbr [B,M,K], kernel [K,Cin,Cout].
+
+    Returns [B, M, Cout]; rows where ``out_valid`` is False are zeroed.
+    """
+    B, M, K = nbr.shape
+    Cin = feats.shape[-1]
+    Cout = kernel.shape[-1]
+    compute_dtype = feats.dtype
+
+    pad = jnp.concatenate([feats, jnp.zeros_like(feats[:, :1])], axis=1)
+
+    if B * M * K * Cin <= IM2COL_ELEMENT_LIMIT:
+        gathered = gather_rows(feats, nbr)  # [B, M, K, Cin]
+        out = jnp.einsum(
+            "bmki,kio->bmo",
+            gathered,
+            kernel.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        def body(carry, k):
+            acc = carry
+            idx = jax.lax.dynamic_index_in_dim(nbr, k, axis=2, keepdims=False)
+            g = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(pad, idx)  # [B,M,Cin]
+            w = jax.lax.dynamic_index_in_dim(kernel, k, axis=0, keepdims=False)
+            acc = acc + jnp.einsum(
+                "bmi,io->bmo", g, w.astype(compute_dtype),
+                preferred_element_type=jnp.float32,
+            )
+            return acc, None
+
+        init = jnp.zeros((B, M, Cout), jnp.float32)
+        out, _ = jax.lax.scan(body, init, jnp.arange(K))
+
+    out = out.astype(compute_dtype)
+    if bias is not None:
+        out = out + bias.astype(compute_dtype)
+    if out_valid is not None:
+        out = jnp.where(out_valid[..., None], out, 0)
+    return out
+
+
+class SparseConv(nn.Module):
+    """Sparse conv layer over a precomputed kernel map.
+
+    The caller owns geometry: ``out_st`` carries the output coordinate
+    set (pass the input tensor itself for stride-1 convs) and ``nbr``
+    the kernel map. Weight init matches ME's default (fan-in variance
+    scaling over K*Cin).
+    """
+
+    out_channels: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_st: SparseTensor, out_st: SparseTensor, nbr: jax.Array) -> SparseTensor:
+        K = nbr.shape[-1]
+        Cin = in_st.num_channels
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (K, Cin, self.out_channels),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        feats = sparse_conv_apply(in_st.feats, nbr, kernel, bias, out_st.valid)
+        return out_st.with_feats(feats)
+
+
+def avg_pool(
+    in_st: SparseTensor,
+    out_st: SparseTensor,
+    nbr: jax.Array,
+) -> SparseTensor:
+    """Average pooling over existing neighbors (MinkowskiAvgPooling,
+    /root/reference/loss.py:156-157): mean over kernel taps that hit."""
+    gathered = gather_rows(in_st.feats, nbr)  # [B, M, K, C]
+    hit = (nbr < in_st.capacity).astype(gathered.dtype)  # [B, M, K]
+    total = jnp.einsum("bmkc,bmk->bmc", gathered, hit)
+    cnt = jnp.maximum(jnp.sum(hit, axis=-1), 1.0)
+    out = total / cnt[..., None]
+    out = jnp.where(out_st.valid[..., None], out, 0)
+    return out_st.with_feats(out)

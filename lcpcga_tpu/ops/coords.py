@@ -1,0 +1,149 @@
+"""Coordinate keys, sorting and set algebra for sparse voxel tensors.
+
+TPU-native replacement for MinkowskiEngine's CoordinateManager
+(reference: MinkowskiEngine dependency, used throughout
+/root/reference/model/*.py). Instead of a GPU hash map we keep every
+coordinate set in a *canonically sorted, fixed-capacity* buffer:
+
+  * coordinates are packed into a single int32 key
+    ``(x << 20) | (y << 10) | z`` — injective for voxel grids up to
+    2**10 = 1024 per axis (vox10, the reference's data regime,
+    /root/reference/utils.py:155-204 uses the same trick with float
+    weights ``[1e15, 1e10, 1e5, 1]``);
+  * rows are always sorted ascending by key with padding rows at the
+    end (``INVALID_KEY = int32 max``);
+  * membership / gather ops are ``searchsorted`` on the key array.
+
+Sorted order doubles as the entropy-coding symbol order, so the
+encoder/decoder enumeration contract of the reference
+(/root/reference/model/entropy_models.py:12-102, ``sort_tensor``)
+is an invariant here instead of a bolted-on wrapper.
+
+All functions in this module operate on a single batch item; batch
+processing happens via ``jax.vmap`` one level up (ops/sparse.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Voxel grids up to 2**COORD_BITS per axis are supported by the packed
+# int32 keys. 10 bits covers vox10 (the reference's data regime). Larger
+# voxel resolutions would need the (slower) lexicographic key path.
+COORD_BITS = 10
+COORD_RANGE = 1 << COORD_BITS  # 1024
+INVALID_KEY = jnp.iinfo(jnp.int32).max
+
+
+def pack(coords: jax.Array) -> jax.Array:
+    """Pack [N, 3] int32 coords in [0, 1024)^3 into scalar int32 keys."""
+    c = coords.astype(jnp.int32)
+    return (c[..., 0] << (2 * COORD_BITS)) | (c[..., 1] << COORD_BITS) | c[..., 2]
+
+
+def unpack(keys: jax.Array) -> jax.Array:
+    """Inverse of :func:`pack`; invalid keys unpack to out-of-range coords."""
+    mask = COORD_RANGE - 1
+    x = (keys >> (2 * COORD_BITS)) & mask
+    y = (keys >> COORD_BITS) & mask
+    z = keys & mask
+    return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
+
+
+def in_range(coords: jax.Array) -> jax.Array:
+    """[N] bool — True where all three coords are inside [0, 1024)."""
+    return jnp.all((coords >= 0) & (coords < COORD_RANGE), axis=-1)
+
+
+def pack_valid(coords: jax.Array, valid: jax.Array) -> jax.Array:
+    """Pack coords, forcing rows where ``valid`` is False to INVALID_KEY."""
+    keys = pack(jnp.clip(coords, 0, COORD_RANGE - 1))
+    return jnp.where(valid & in_range(coords), keys, INVALID_KEY)
+
+
+def lookup(table_keys: jax.Array, query_keys: jax.Array) -> jax.Array:
+    """Find each query key in a sorted key table.
+
+    Returns int32 [M] indices into ``table_keys``; misses (and invalid
+    queries) return ``len(table_keys)`` — the convention is that callers
+    gather from a feature buffer padded with one extra zero row.
+
+    Replaces ``SparseTensor.features_at_coordinates`` index resolution
+    (reference: MinkowskiEngine; 11+ call sites, e.g.
+    /root/reference/model/blocks.py:37).
+    """
+    n = table_keys.shape[0]
+    pos = jnp.searchsorted(table_keys, query_keys).astype(jnp.int32)
+    safe = jnp.minimum(pos, n - 1)
+    found = (table_keys[safe] == query_keys) & (query_keys != INVALID_KEY) & (pos < n)
+    return jnp.where(found, pos, n).astype(jnp.int32)
+
+
+def sort_by_key(keys: jax.Array, *rows: jax.Array):
+    """Sort keys ascending and apply the same permutation to row arrays."""
+    order = jnp.argsort(keys)
+    return (keys[order],) + tuple(r[order] for r in rows)
+
+
+def unique_mask_sorted(keys: jax.Array) -> jax.Array:
+    """[N] bool — True at the first occurrence of each valid key (keys sorted)."""
+    first = jnp.concatenate(
+        [jnp.array([True]), keys[1:] != keys[:-1]]
+    )
+    return first & (keys != INVALID_KEY)
+
+
+def compact_keys(keys: jax.Array, keep: jax.Array, capacity: int):
+    """Stable-compact kept (sorted) keys into a fresh buffer of ``capacity``.
+
+    Rows beyond capacity are dropped (highest keys first — the caller is
+    responsible for sizing capacities; see ops/sparse.py capacity notes).
+
+    Returns (keys_out [capacity], src_idx [capacity], count).
+    ``src_idx`` maps each output row to its source row (or len(keys) for
+    padding), so callers can gather features alongside.
+    """
+    n = keys.shape[0]
+    dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, dest, capacity)  # dropped rows -> OOB, scatter-drop
+    keys_out = jnp.full((capacity,), INVALID_KEY, dtype=jnp.int32)
+    keys_out = keys_out.at[dest].set(keys, mode="drop")
+    src = jnp.full((capacity,), n, dtype=jnp.int32)
+    src = src.at[dest].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+    count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
+    return keys_out, src, count
+
+
+def downsample_coords(coords: jax.Array, stride_out: int) -> jax.Array:
+    """Quantize coords down to ``stride_out``-aligned grid (no dedup).
+
+    Mirrors /root/reference/utils.py:126-152 ``downsampled_coordinates``.
+    Inputs are non-negative multiples of the current stride.
+    """
+    return (coords // stride_out) * stride_out
+
+
+def conv_offsets(kernel_size: int, stride_units: int) -> jnp.ndarray:
+    """Kernel offset table [K, 3] in coordinate units.
+
+    kernel_size 3 -> offsets {-1, 0, 1} * stride_units (centered, like
+    MinkowskiConvolution's odd-kernel region); kernel_size 2 -> {0, 1}
+    (ME even-kernel convention, used by h_s upsampling,
+    /root/reference/model/entropy_models.py:136).
+    """
+    if kernel_size == 3:
+        r = (-1, 0, 1)
+    elif kernel_size == 2:
+        r = (0, 1)
+    elif kernel_size == 1:
+        r = (0,)
+    else:
+        raise ValueError(f"unsupported kernel_size {kernel_size}")
+    offs = [
+        (dx * stride_units, dy * stride_units, dz * stride_units)
+        for dx in r
+        for dy in r
+        for dz in r
+    ]
+    return jnp.asarray(offs, dtype=jnp.int32)

@@ -1,0 +1,19 @@
+"""Test configuration: run JAX on CPU with 8 virtual devices.
+
+The session environment pins ``JAX_PLATFORMS=axon`` (TPU tunnel) and a
+sitecustomize pre-imports jax, so plain env-var edits are too late; we
+switch the platform through jax.config. Unit tests compare against
+numpy at f32 precision (TPU f32 matmuls use bf16 passes) and the
+sharding tests need 8 virtual CPU devices (SURVEY.md §4, item 4).
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
