@@ -1,0 +1,142 @@
+"""ColorModel — the joint geometry + attribute codec.
+
+TPU-native equivalent of /root/reference/model/model.py:15-93 (forward
+path; the bit-level compress/decompress orchestration lives in
+lcpcga_tpu/codec_runtime.py because it mixes jitted device stages with
+the host-side rANS coder).
+
+Forward: pad an occupancy channel onto RGB
+(/root/reference/model/model.py:63-65), run g_a conditioned on the
+quality map, noise-quantize through the mean-scale hyperprior (which
+also reconstructs Q̂ from ẑ via h_q), then regrow the cloud with g_s
+using the true per-scale point counts k.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import SparseTensor
+from .entropy import MeanScaleHyperprior
+from .transforms import AnalysisTransform, Capacities, SparseSynthesisTransform
+
+
+class ColorModel(nn.Module):
+    """Single-model variable-rate point cloud codec (arXiv:2408.00599)."""
+
+    caps: Capacities
+    c_in: int = 4
+    c_out: int = 3
+    g_a_n1: int = 64
+    g_a_n2: int = 128
+    g_a_n3: int = 128
+    g_s_n1: int = 128
+    g_s_n2: int = 128
+    g_s_n3: int = 64
+    c_bottleneck: int = 128
+    c_hyper: int = 128
+    c_q: int = 2
+    source_condition: bool = True
+    condition_ablation: bool = False
+
+    def setup(self):
+        self.g_a = AnalysisTransform(
+            caps=self.caps,
+            channels_in=self.c_in,
+            n1=self.g_a_n1,
+            n2=self.g_a_n2,
+            n3=self.g_a_n3,
+            source_condition=self.source_condition,
+            condition_ablation=self.condition_ablation,
+        )
+        self.g_s = SparseSynthesisTransform(
+            caps=self.caps,
+            c_out=self.c_out,
+            n1=self.g_s_n1,
+            n2=self.g_s_n2,
+            n3=self.g_s_n3,
+            source_condition=self.source_condition,
+            condition_ablation=self.condition_ablation,
+        )
+        self.entropy_model = MeanScaleHyperprior(
+            caps=self.caps,
+            c_bottleneck=self.c_bottleneck,
+            c_hyper=self.c_hyper,
+            c_q=self.c_q,
+            use_q_head=True,
+        )
+
+    @staticmethod
+    def pad_occupancy(x: SparseTensor) -> SparseTensor:
+        """[1, R, G, B] feature layout (/root/reference/model/model.py:63-65)."""
+        ones = jnp.where(x.valid[..., None], 1.0, 0.0)
+        return x.with_feats(jnp.concatenate([ones, x.feats], axis=-1))
+
+    def __call__(
+        self,
+        x: SparseTensor,
+        q: SparseTensor,
+        lam: SparseTensor,
+        training: bool = False,
+    ) -> Dict[str, Any]:
+        """x: RGB cloud [B,N,3]; q: quality map [B,N,2]; lam: λ-map [B,N,2]."""
+        x4 = self.pad_occupancy(x)
+        y, q_latent, k = self.g_a(x4, q)
+        y_hat, q_hat, (lik_y, lik_z) = self.entropy_model(y, training)
+        x_hat, points, predictions = self.g_s(y_hat, q_hat, k, gt=x)
+        return {
+            "prediction": x_hat,
+            "points": points,
+            "occ_predictions": predictions,
+            "q_map": lam,
+            "likelihoods": {"y": lik_y, "z": lik_z},
+            "k": k,
+            "y": y,
+        }
+
+    def aux_loss(self):
+        return self.entropy_model.aux_loss()
+
+    # Exposed sub-paths for the codec runtime (compress/decompress).
+    def analysis(self, x: SparseTensor, q: SparseTensor):
+        return self.g_a(self.pad_occupancy(x), q)
+
+    def entropy_encode_arrays(self, y: SparseTensor, scale_table):
+        return self.entropy_model.encode_arrays(y, scale_table)
+
+    def entropy_decode_params(self, y_coords: SparseTensor, z_hat_feats):
+        return self.entropy_model.decode_params(y_coords, z_hat_feats)
+
+    def synthesis(self, y_hat: SparseTensor, q_hat: SparseTensor, k):
+        return self.g_s(y_hat, q_hat, k)
+
+
+def model_config_from_dict(cfg: Dict[str, Any]) -> Dict[str, Any]:
+    """Map a reference-style YAML model config
+    (/root/reference/configs/Ours.yaml) onto ColorModel kwargs."""
+    g_a = cfg.get("g_a", {})
+    g_s = cfg.get("g_s", {})
+    em = cfg.get("entropy_model", {})
+    return dict(
+        c_in=g_a.get("C_in", 4),
+        g_a_n1=g_a.get("N1", 64),
+        g_a_n2=g_a.get("N2", 128),
+        g_a_n3=g_a.get("N3", 128),
+        c_out=g_s.get("C_out", 3),
+        g_s_n1=g_s.get("N1", 128),
+        g_s_n2=g_s.get("N2", 128),
+        g_s_n3=g_s.get("N3", 64),
+        c_bottleneck=em.get("C_bottleneck", 128),
+        c_hyper=em.get("C_hyper_bottleneck", 128),
+        c_q=em.get("C_Q", 2),
+        source_condition=bool(g_a.get("source_condition", True)),
+        condition_ablation=bool(g_a.get("condition_ablation", False)),
+    )
+
+
+def make_model(model_cfg: Dict[str, Any], caps: Capacities) -> ColorModel:
+    return ColorModel(caps=caps, **model_config_from_dict(model_cfg))

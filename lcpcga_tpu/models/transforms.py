@@ -1,0 +1,228 @@
+"""Analysis and synthesis transforms (g_a / g_s).
+
+TPU-native re-design of /root/reference/model/transforms.py. Channel
+plan matches the reference exactly (4 -> 64 -> 128 -> 128 -> 128 for
+g_a; 128 -> 128 -> 128 -> 64 -> 32 -> 3 for g_s; condition branch
+widths 2/16). Structural differences:
+
+  * the geometry "plan" (coordinate pyramids + kernel maps) is built
+    once per stride level and shared by every conv at that level —
+    MinkowskiEngine's CoordinateManager role, but explicit and traced;
+  * per-batch point counts ``k`` (/root/reference/model/transforms.py:65-71)
+    are the SparseTensor ``count`` vector — no host loop;
+  * the condition pyramid reuses the feature pyramid's downsample maps,
+    which guarantees FiLM tensors are row-aligned with features;
+  * the training-time ground-truth pyramid uses coordinate-only
+    downsampling instead of an untrained throwaway conv
+    (/root/reference/model/transforms.py:238,297-300).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops import (
+    SparseConv,
+    SparseTensor,
+    downsample_coords_only,
+    downsample_map,
+    self_kernel_map,
+)
+from .layers import (
+    ConditionEncoder,
+    ConvReluConv,
+    GenerativeUp,
+    QPredict,
+    ScaledBlock,
+    UpsampleTo,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Capacities:
+    """Static row capacities per stride level (JAX needs static shapes).
+
+    ``caps[i]`` is the capacity at stride 2**i. ``cand_factor`` scales
+    the candidate buffer of generative upsampling (true candidate count
+    is <= 27x input; ~6-8x after dedup for surface-like clouds).
+    """
+
+    caps: Tuple[int, int, int, int, int, int]
+    cand_factor: int = 12
+
+    def cap(self, stride: int) -> int:
+        return self.caps[stride.bit_length() - 1]
+
+    def cand(self, stride_in: int) -> int:
+        return min(27 * self.cap(stride_in), self.cand_factor * self.cap(stride_in // 2))
+
+    @classmethod
+    def for_points(cls, n: int, batch_safety: float = 1.0) -> "Capacities":
+        from ..ops import round_up
+
+        base = round_up(max(int(n * batch_safety), 128))
+
+        def level(f):
+            return max(256, round_up(int(base * f)))
+
+        return cls(caps=(base, level(0.7), level(0.35), level(0.2), level(0.1), level(0.08)))
+
+
+class AnalysisTransform(nn.Module):
+    """g_a: 3x stride-2 FiLM-conditioned downsampling
+    (/root/reference/model/transforms.py:8-128).
+
+    Returns (y at stride 8, Q resampled to y's coords, k point counts
+    [B, 3] at strides [4, 2, 1] — the reversed-count contract of
+    /root/reference/model/transforms.py:127).
+    """
+
+    caps: Capacities
+    channels_in: int = 4
+    n1: int = 64
+    n2: int = 128
+    n3: int = 128
+    source_condition: bool = True
+    condition_ablation: bool = False
+
+    @nn.compact
+    def __call__(self, x: SparseTensor, q: SparseTensor):
+        nbr1 = self_kernel_map(x)
+
+        # Geometry plan: coordinate pyramid + kernel maps, shared by the
+        # feature and condition branches.
+        d2_st, d2_nbr = downsample_map(x, self.caps.cap(2))
+        nbr2 = self_kernel_map(d2_st)
+        d4_st, d4_nbr = downsample_map(d2_st, self.caps.cap(4))
+        nbr4 = self_kernel_map(d4_st)
+        d8_st, d8_nbr = downsample_map(d4_st, self.caps.cap(8))
+        nbr8 = self_kernel_map(d8_st)
+
+        # Per-item true point counts per scale, finest last (the k that
+        # is transmitted in the bitstream header).
+        k = jnp.stack([d4_st.count, d2_st.count, x.count], axis=1)
+
+        # Source conditioning: a small conv head on the input adds a
+        # content-dependent offset to the quality map
+        # (/root/reference/model/transforms.py:33-40,92-98).
+        if self.source_condition:
+            q_plus = ConvReluConv(2, 2)(x, nbr1)
+            q = q.with_feats(q.feats + q_plus.feats)
+
+        # Condition pyramid -> FiLM (beta, gamma) per scale.
+        # Scale widths follow the ScaledBlock widths [n2, n3, n3]
+        # (the reference passes [N2, N2, N3],
+        # /root/reference/model/transforms.py:60-63 — identical for the
+        # shipped config where N2 == N3 == 128).
+        q_latent, beta_gammas = ConditionEncoder(
+            n_scales=(self.n2, self.n3, self.n3),
+            condition_ablation=self.condition_ablation,
+        )(q, nbr1, [(d2_st, d2_nbr), (d4_st, d4_nbr), (d8_st, d8_nbr)], [nbr2, nbr4, nbr8])
+
+        # Feature path.
+        h = SparseConv(self.n1)(x, x, nbr1)
+        h = h.with_feats(nn.relu(h.feats))
+
+        h = SparseConv(self.n2)(h, d2_st, d2_nbr)
+        h = ScaledBlock(self.n2)(h, nbr2, beta_gammas[0])
+
+        h = SparseConv(self.n3)(h, d4_st, d4_nbr)
+        h = ScaledBlock(self.n3)(h, nbr4, beta_gammas[1])
+
+        h = SparseConv(self.n3)(h, d8_st, d8_nbr)
+        h = ScaledBlock(self.n3)(h, nbr8, beta_gammas[2])
+
+        y = SparseConv(self.n3)(h, h, nbr8)
+
+        # Q at latent coords: q_latent lives on d8's coordinate set
+        # already (shared plan) — row-aligned with y by construction
+        # (/root/reference/model/transforms.py:123-125 needed a lookup).
+        return y, q_latent, k
+
+
+class SparseSynthesisTransform(nn.Module):
+    """g_s: 3x generative upsampling with occupancy top-k pruning and a
+    parallel FiLM quality branch
+    (/root/reference/model/transforms.py:134-304).
+
+    ``k``: [B, 3] point counts at strides [4, 2, 1] (from g_a during
+    training / forward; from the bitstream header at decode).
+    When ``gt`` is given (training), also returns the occupancy logits
+    per scale and the ground-truth coordinate pyramid.
+    """
+
+    caps: Capacities
+    c_out: int = 3
+    n1: int = 128
+    n2: int = 128
+    n3: int = 64
+    source_condition: bool = True
+    condition_ablation: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        y: SparseTensor,
+        q: SparseTensor,
+        k: jax.Array,
+        gt: Optional[SparseTensor] = None,
+    ):
+        nbr8 = self_kernel_map(y)
+
+        if self.source_condition:
+            h = SparseConv(self.n1 // 2)(y, y, nbr8)
+            h = h.with_feats(nn.relu(h.feats))
+            h = SparseConv(2)(h, h, nbr8)
+            q = q.with_feats(q.feats + h.feats)
+
+        # Feature / condition pre-convs.
+        x = SparseConv(self.n1)(y, y, nbr8)
+        x = x.with_feats(nn.relu(x.feats))
+
+        qf = SparseConv(16)(q, q, nbr8)
+        qf = qf.with_feats(nn.relu(qf.feats))
+        qf = qf.with_feats(nn.relu(nn.Dense(16)(qf.feats)))
+        qf = SparseConv(2)(qf, qf, nbr8)
+
+        # Stage 1: stride 8 -> 4.
+        bg = QPredict(self.n1)(qf, nbr8)
+        x = ScaledBlock(self.n1)(x, nbr8, bg)
+        x, occ4 = GenerativeUp(self.n1, self.caps.cand(8), self.caps.cap(4))(x, k[:, 0])
+        qf = UpsampleTo(2)(qf, x)
+        nbr4 = self_kernel_map(x)
+
+        # Stage 2: stride 4 -> 2.
+        bg = QPredict(self.n1)(qf, nbr4)
+        x = ScaledBlock(self.n1)(x, nbr4, bg)
+        x, occ2 = GenerativeUp(self.n2, self.caps.cand(4), self.caps.cap(2))(x, k[:, 1])
+        qf = UpsampleTo(2)(qf, x)
+        nbr2 = self_kernel_map(x)
+
+        # Stage 3: stride 2 -> 1.
+        bg = QPredict(self.n2)(qf, nbr2)
+        x = ScaledBlock(self.n2)(x, nbr2, bg)
+        x, occ1 = GenerativeUp(self.n3, self.caps.cand(2), self.caps.cap(1))(x, k[:, 2])
+        nbr1 = self_kernel_map(x)
+
+        # Post conv: n3 -> n3 -> n3//2 -> c_out.
+        x = SparseConv(self.n3)(x, x, nbr1)
+        x = x.with_feats(nn.relu(x.feats))
+        x = SparseConv(self.n3 // 2)(x, x, nbr1)
+        x = x.with_feats(nn.relu(x.feats))
+        x = SparseConv(self.c_out)(x, x, nbr1)
+
+        if gt is None:
+            return x
+
+        # Ground-truth occupancy pyramid for the multiscale focal loss,
+        # coarse -> fine order [stride4, stride2, stride1].
+        gt2 = downsample_coords_only(gt, self.caps.cap(2))
+        gt4 = downsample_coords_only(gt2, self.caps.cap(4))
+        predictions = [occ4, occ2, occ1]
+        points = [gt4, gt2, gt]
+        return x, points, predictions

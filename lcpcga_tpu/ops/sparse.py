@@ -218,6 +218,35 @@ def downsample_map(st: SparseTensor, capacity: int, kernel_size: int = 3):
     return out_st, nbr
 
 
+def downsample_coords_only(st: SparseTensor, capacity: int) -> SparseTensor:
+    """Coordinate-only stride-2 downsample (no kernel map).
+
+    Used for the ground-truth occupancy pyramid in training
+    (/root/reference/model/transforms.py:297-300 runs an untrained
+    stride-2 conv purely for its output coordinates) and for the
+    decoder's z-coordinate re-derivation
+    (/root/reference/model/model.py:188-191).
+    """
+    s2 = st.stride * 2
+
+    def per_item(keys):
+        coords = C.unpack(keys)
+        down = C.downsample_coords(coords, s2)
+        dkeys = C.pack_valid(down, keys != C.INVALID_KEY)
+        dkeys = jnp.sort(dkeys)
+        keep = C.unique_mask_sorted(dkeys)
+        out_keys, _, count = C.compact_keys(dkeys, keep, capacity)
+        return out_keys, count
+
+    out_keys, out_count = jax.vmap(per_item)(st.keys)
+    return SparseTensor(
+        keys=out_keys,
+        feats=jnp.zeros(out_keys.shape + (0,), st.feats.dtype),
+        count=out_count,
+        stride=s2,
+    )
+
+
 def transpose_map(
     in_st: SparseTensor,
     out_keys: jax.Array,
