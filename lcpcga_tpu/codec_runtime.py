@@ -1,0 +1,301 @@
+"""PointCloudCodec — bit-level compress / decompress orchestration.
+
+TPU-native equivalent of /root/reference/model/model.py:95-315
+(``ColorModel.compress/decompress/save_bitstream/load_bitstream``).
+The pipeline mixes four jitted device stages with the host-side native
+coders (lcpcga_tpu/coding):
+
+  compress:   [jit] analysis  ->  [jit] encode_z  ->  host rANS(z)
+              -> [jit] decode_params (decoder simulation)
+              -> host rANS(y) + octree(coords) -> container
+  decompress: container -> host octree -> host rANS(z)
+              -> [jit] decode_params (SAME compiled fn as compress)
+              -> host rANS(y) -> [jit] synthesis -> colors
+
+Bit-exactness rests on three invariants (SURVEY.md §7 hard part 2):
+  1. canonical sorted coordinate order is a SparseTensor invariant, so
+     encoder and decoder enumerate symbols identically;
+  2. ẑ/ŷ are reconstructed as ``integer + (medians|means)`` in host
+     numpy on both sides;
+  3. the Gaussian parameter regrowth runs through one shared compiled
+     function on both sides.
+
+The latent coordinates are coded by the in-process octree coder instead
+of shelling out to tmc3 through ASCII PLY files
+(/root/reference/model/model.py:318-395) — no subprocess in the loop.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .coding import Bitstream, octree_decode, octree_encode, rans_decode, rans_encode
+from .coding.native import get_lib
+from .models import ColorModel, GaussianConditional, default_scale_table
+from .models.codec import ColorModel as _CM
+from .ops import SparseTensor, from_coords
+from .ops import coords as C
+
+LATENT_STRIDE = 8
+Z_STRIDE = 32
+
+
+def _channel_indexes(n: int, c: int) -> np.ndarray:
+    """Row-major [n, c] flatten: context = channel id."""
+    return np.tile(np.arange(c, dtype=np.int32), n)
+
+
+class PointCloudCodec:
+    """Host-side codec wrapper around a trained ColorModel.
+
+    Batch size 1 per stream (like the reference's file codec,
+    /root/reference/model/model.py:298-301); batched multi-frame encode
+    goes through the parallel module instead.
+    """
+
+    def __init__(self, model: ColorModel, params, depth: int = C.COORD_BITS):
+        self.model = model
+        self.params = params
+        self.caps = model.caps
+        self.depth = depth
+        self.scale_table = default_scale_table()
+        self.tables_y = None
+        self.tables_z = None
+        self.z_medians = None
+
+        m = model
+
+        @jax.jit
+        def analysis_fn(params, x, q):
+            return m.apply(params, x, q, method=_CM.analysis)
+
+        @jax.jit
+        def encode_z_fn(params, y):
+            return m.apply(params, y, method=_CM.entropy_encode_z)
+
+        @jax.jit
+        def decode_params_fn(params, y_coords, z_hat_feats):
+            return m.apply(params, y_coords, z_hat_feats, method=_CM.entropy_decode_params)
+
+        @jax.jit
+        def synthesis_fn(params, y_hat, q_hat, k):
+            x_hat = m.apply(params, y_hat, q_hat, k, method=_CM.synthesis)
+            colors = jnp.clip(jnp.round(x_hat.feats * 255.0), 0.0, 255.0) / 255.0
+            return x_hat.with_feats(colors)
+
+        self._analysis = analysis_fn
+        self._encode_z = encode_z_fn
+        self._decode_params = decode_params_fn
+        self._synthesis = synthesis_fn
+
+    # -- update(): bake CDF tables (/root/reference/model/model.py:30-36) --
+
+    def update(self):
+        get_lib()  # build the native coder eagerly
+        self.tables_y = GaussianConditional.build_codec_tables(self.scale_table)
+        self.tables_z = self.model.apply(self.params, method=_CM.eb_build_tables)
+        self.z_medians = np.asarray(
+            self.model.apply(self.params, method=_CM.eb_medians)
+        ).astype(np.float32)
+
+    def _require_tables(self):
+        if self.tables_y is None:
+            raise RuntimeError("call update() before compress()/decompress()")
+
+    # -- input packing --
+
+    def _pack_input(self, coords: np.ndarray, colors: np.ndarray) -> SparseTensor:
+        cap = self.caps.cap(1)
+        n = coords.shape[0]
+        if n > cap:
+            raise ValueError(f"cloud has {n} points, codec capacity {cap}")
+        pc = np.zeros((1, cap, 3), np.int32)
+        pf = np.zeros((1, cap, 3), np.float32)
+        pv = np.zeros((1, cap), bool)
+        pc[0, :n] = coords
+        pf[0, :n] = colors
+        pv[0, :n] = True
+        return from_coords(jnp.asarray(pc), jnp.asarray(pf), jnp.asarray(pv))
+
+    def _q_tensor(self, x: SparseTensor, q) -> SparseTensor:
+        if isinstance(q, tuple):
+            qg, qa = q
+            qf = jnp.stack(
+                [jnp.full(x.keys.shape, qg, jnp.float32),
+                 jnp.full(x.keys.shape, qa, jnp.float32)],
+                axis=-1,
+            )
+            qf = jnp.where(x.valid[..., None], qf, 0.0)
+            return x.with_feats(qf)
+        raise ValueError("q must be a (q_g, q_a) tuple or use compress_with_qmap")
+
+    def _coords_st(self, keys: jax.Array, count, stride: int) -> SparseTensor:
+        return SparseTensor(
+            keys=keys,
+            feats=jnp.zeros(keys.shape + (0,), jnp.float32),
+            count=count,
+            stride=stride,
+        )
+
+    # -- compress --
+
+    def compress(
+        self,
+        coords: np.ndarray,
+        colors: np.ndarray,
+        q: Tuple[float, float],
+        path: Optional[str] = None,
+        q_map: Optional[np.ndarray] = None,
+    ):
+        """coords [N,3] int, colors [N,3] float in [0,1], q = (q_g, q_a).
+
+        Returns (Bitstream, debug dict). If ``path`` is given the stream
+        is also written to disk.
+        """
+        self._require_tables()
+        x = self._pack_input(coords, colors)
+        if q_map is not None:
+            qf = jnp.zeros((1, x.capacity, 2), jnp.float32)
+            qf = qf.at[0, : q_map.shape[0]].set(jnp.asarray(q_map, jnp.float32))
+            q_st = x.with_feats(jnp.where(x.valid[..., None], qf, 0.0))
+        else:
+            q_st = self._q_tensor(x, q)
+
+        y, _q_latent, k = self._analysis(self.params, x, q_st)
+        z_vals_dev, z_count_dev = self._encode_z(self.params, y)
+
+        # Host: z stream.
+        n_z = int(z_count_dev[0])
+        z_vals = np.asarray(z_vals_dev[0, :n_z]).astype(np.int32)  # [n_z, Ch]
+        ch = z_vals.shape[1]
+        z_payload = rans_encode(z_vals.ravel(), _channel_indexes(n_z, ch), self.tables_z)
+
+        # Host: integer-exact ẑ (identical on the decoder).
+        z_hat = (z_vals.astype(np.float32) + self.z_medians[None, :]).astype(np.float32)
+        z_hat_pad = np.zeros((1, self.caps.cap(Z_STRIDE), ch), np.float32)
+        z_hat_pad[0, :n_z] = z_hat
+
+        # Shared decoder-simulation program.
+        y_coords = self._coords_st(y.keys, y.count, LATENT_STRIDE)
+        scales, means, indexes, q_hat = self._decode_params(
+            self.params, y_coords, jnp.asarray(z_hat_pad)
+        )
+
+        # Host: y stream.
+        n_y = int(y.count[0])
+        y_feats = np.asarray(y.feats[0, :n_y], np.float32)
+        means_np = np.asarray(means[0, :n_y], np.float32)
+        idx_np = np.asarray(indexes[0, :n_y], np.int32)
+        v_y = np.round(y_feats - means_np).astype(np.int32)
+        y_payload = rans_encode(v_y.ravel(), idx_np.ravel(), self.tables_y)
+
+        # Host: latent coordinates, losslessly (stride-8 grid).
+        y_xyz = np.asarray(C.unpack(y.keys[0, :n_y]))
+        grid = y_xyz // LATENT_STRIDE
+        points_payload = octree_encode(grid, self.depth - 3)
+
+        k_np = [int(v) for v in np.asarray(k[0])]
+        stream = Bitstream(
+            z_length=n_z,
+            k=k_np,
+            points_payload=points_payload,
+            y_payload=y_payload,
+            z_payload=z_payload,
+        )
+        if path is not None:
+            stream.save(path)
+
+        debug = {
+            "y_hat": (v_y.astype(np.float32) + means_np),
+            "q_hat": np.asarray(q_hat.feats[0, :n_y]) if q_hat is not None else None,
+            "n_y": n_y,
+            "n_z": n_z,
+        }
+        return stream, debug
+
+    # -- decompress --
+
+    def decompress(self, stream: Bitstream, return_debug: bool = False):
+        """Returns (coords [N,3] int32, colors [N,3] float32 in [0,1])."""
+        self._require_tables()
+        # Latent coordinates.
+        grid = octree_decode(
+            stream.points_payload, self.depth - 3, self.caps.cap(LATENT_STRIDE)
+        )
+        y_xyz = grid * LATENT_STRIDE
+        n_y = y_xyz.shape[0]
+        cap8 = self.caps.cap(LATENT_STRIDE)
+        pc = np.zeros((1, cap8, 3), np.int32)
+        pv = np.zeros((1, cap8), bool)
+        pc[0, :n_y] = y_xyz
+        pv[0, :n_y] = True
+        y_coords = from_coords(
+            jnp.asarray(pc), jnp.zeros((1, cap8, 0), jnp.float32), jnp.asarray(pv),
+            stride=LATENT_STRIDE,
+        )
+
+        # z stream.
+        n_z = stream.z_length
+        ch = self.z_medians.shape[0]
+        z_vals = rans_decode(
+            stream.z_payload, _channel_indexes(n_z, ch), self.tables_z
+        ).reshape(n_z, ch)
+        z_hat = (z_vals.astype(np.float32) + self.z_medians[None, :]).astype(np.float32)
+        z_hat_pad = np.zeros((1, self.caps.cap(Z_STRIDE), ch), np.float32)
+        z_hat_pad[0, :n_z] = z_hat
+
+        scales, means, indexes, q_hat = self._decode_params(
+            self.params, y_coords, jnp.asarray(z_hat_pad)
+        )
+
+        # y stream.
+        idx_np = np.asarray(indexes[0, :n_y], np.int32)
+        means_np = np.asarray(means[0, :n_y], np.float32)
+        cb = means_np.shape[1]
+        v_y = rans_decode(stream.y_payload, idx_np.ravel(), self.tables_y).reshape(n_y, cb)
+        y_hat_feats = v_y.astype(np.float32) + means_np
+        y_hat_pad = np.zeros((1, cap8, cb), np.float32)
+        y_hat_pad[0, :n_y] = y_hat_feats
+        y_hat = y_coords.with_feats(jnp.asarray(y_hat_pad))
+
+        k = jnp.asarray([stream.k], jnp.int32)
+        x_hat = self._synthesis(self.params, y_hat, q_hat, k)
+
+        n_out = int(x_hat.count[0])
+        out_coords = np.asarray(x_hat.coords[0, :n_out])
+        out_colors = np.asarray(x_hat.feats[0, :n_out])
+        if return_debug:
+            debug = {
+                "y_hat": y_hat_feats,
+                "q_hat": np.asarray(q_hat.feats[0, :n_y]) if q_hat is not None else None,
+                "n_y": n_y,
+                "n_z": n_z,
+            }
+            return (out_coords, out_colors), debug
+        return out_coords, out_colors
+
+    # -- timing harness (/root/reference/utils.py:418-472) --
+
+    def timed_roundtrip(self, coords, colors, q):
+        t0 = time.perf_counter()
+        stream, _ = self.compress(coords, colors, q)
+        jax.effects_barrier()
+        t1 = time.perf_counter()
+        out = self.decompress(stream)
+        jax.effects_barrier()
+        t2 = time.perf_counter()
+        nbytes = len(stream.to_bytes())
+        bpp = nbytes * 8.0 / coords.shape[0]
+        return {
+            "t_compress": t1 - t0,
+            "t_decompress": t2 - t1,
+            "bpp": bpp,
+            "bytes": nbytes,
+            "reconstruction": out,
+        }

@@ -1,0 +1,404 @@
+// Native entropy coding runtime: rANS range coder + octree coordinate codec.
+//
+// TPU-native replacement for the two native coding dependencies of the
+// reference (SURVEY.md §2.2):
+//   * CompressAI's C++ rANS extension (behind EntropyBottleneck /
+//     GaussianConditional .compress/.decompress,
+//     /root/reference/model/entropy_models.py:189,352,372) — here a
+//     byte-wise rANS with 16-bit quantized CDFs and an escape+bypass
+//     path for out-of-support symbols;
+//   * the MPEG G-PCC `tmc3` subprocess used for lossless latent
+//     coordinate coding (/root/reference/model/model.py:318-395) — here
+//     an in-process octree occupancy coder with adaptive binary
+//     contexts (no temp PLY files, no process spawn).
+//
+// Exposed as a C ABI for ctypes (pybind11 is not available in the
+// build image). All functions return a negative value on error.
+//
+// Build: g++ -O3 -shared -fPIC -o libcoder.so coder.cpp
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+
+namespace {
+
+// ---------------------------------------------------------------------------
+// rANS (byte-wise renormalization, 16-bit probability precision)
+// ---------------------------------------------------------------------------
+
+constexpr uint32_t kProbBits = 16;
+constexpr uint32_t kProbScale = 1u << kProbBits;
+constexpr uint32_t kRansL = 1u << 23;  // lower bound of the state interval
+
+struct RansEncoder {
+  std::vector<uint8_t> bytes;  // emitted in reverse; reversed at finish
+  uint32_t x = kRansL;
+
+  inline void put(uint32_t start, uint32_t freq) {
+    uint32_t x_max = ((kRansL >> kProbBits) << 8) * freq;
+    while (x >= x_max) {
+      bytes.push_back(static_cast<uint8_t>(x & 0xff));
+      x >>= 8;
+    }
+    x = ((x / freq) << kProbBits) + (x % freq) + start;
+  }
+
+  // Bypass: n raw bits (n <= 16), uniform distribution. The state must
+  // stay below (kRansL << 8) after the push: renorm while x >= 2^(31-n).
+  inline void put_bits(uint32_t bits, uint32_t n) {
+    uint32_t x_max = (kRansL << 8) >> n;
+    while (x >= x_max) {
+      bytes.push_back(static_cast<uint8_t>(x & 0xff));
+      x >>= 8;
+    }
+    x = (x << n) | (bits & ((1u << n) - 1u));
+  }
+
+  int finish(uint8_t* out, int capacity) {
+    bytes.push_back(static_cast<uint8_t>(x & 0xff));
+    bytes.push_back(static_cast<uint8_t>((x >> 8) & 0xff));
+    bytes.push_back(static_cast<uint8_t>((x >> 16) & 0xff));
+    bytes.push_back(static_cast<uint8_t>((x >> 24) & 0xff));
+    if (static_cast<int>(bytes.size()) > capacity) return -1;
+    // Reverse so the decoder reads forward.
+    for (size_t i = 0; i < bytes.size(); ++i)
+      out[i] = bytes[bytes.size() - 1 - i];
+    return static_cast<int>(bytes.size());
+  }
+};
+
+struct RansDecoder {
+  const uint8_t* in;
+  int len;
+  int pos = 0;
+  uint32_t x = 0;
+
+  void init(const uint8_t* data, int n) {
+    in = data;
+    len = n;
+    pos = 0;
+    x = 0;
+    for (int i = 0; i < 4 && pos < len; ++i) x = (x << 8) | in[pos++];
+  }
+
+  inline uint32_t peek() const { return x & (kProbScale - 1); }
+
+  inline void advance(uint32_t start, uint32_t freq) {
+    x = freq * (x >> kProbBits) + (x & (kProbScale - 1)) - start;
+    while (x < kRansL && pos < len) x = (x << 8) | in[pos++];
+  }
+
+  inline uint32_t get_bits(uint32_t n) {
+    uint32_t bits = x & ((1u << n) - 1u);
+    x >>= n;
+    while (x < kRansL && pos < len) x = (x << 8) | in[pos++];
+    return bits;
+  }
+};
+
+// Overflow (escape) value <-> unsigned mapping. v_raw is the symbol
+// index relative to the CDF support [0, num_sym-2]; escape covers
+// v_raw < 0 and v_raw >= num_sym-1.
+inline uint32_t overflow_to_unsigned(int64_t v_raw, int64_t esc) {
+  return v_raw >= esc ? static_cast<uint32_t>(2 * (v_raw - esc))
+                      : static_cast<uint32_t>(2 * (-v_raw) - 1);
+}
+
+inline int64_t overflow_from_unsigned(uint32_t u, int64_t esc) {
+  return (u & 1u) ? -static_cast<int64_t>((u + 1) >> 1)
+                  : esc + static_cast<int64_t>(u >> 1);
+}
+
+constexpr uint32_t kChunkBits = 3;  // bypass chunk payload bits (+1 continue bit)
+
+}  // namespace
+
+extern "C" {
+
+// values[i]: integer coded value; context i uses cdfs row indexes[i].
+// CDF row: length L (cdf_lengths), num_symbols = L-1 (last = escape),
+// cdf[L-1] == 1<<16, values decode to symbol + offsets[row].
+int rans_encode(const int32_t* values, const int32_t* indexes, int n,
+                const int32_t* cdfs, int cdf_stride, const int32_t* cdf_lengths,
+                const int32_t* offsets, uint8_t* out, int out_capacity) {
+  RansEncoder enc;
+  enc.bytes.reserve(n * 2 + 16);
+  // rANS is LIFO: process in reverse so the decoder reads forward.
+  for (int i = n - 1; i >= 0; --i) {
+    int32_t ctx = indexes[i];
+    const int32_t* cdf = cdfs + static_cast<int64_t>(ctx) * cdf_stride;
+    int32_t L = cdf_lengths[ctx];
+    int64_t num_sym = L - 1;
+    int64_t esc = num_sym - 1;
+    int64_t v = static_cast<int64_t>(values[i]) - offsets[ctx];
+    int64_t sym;
+    if (v >= 0 && v < esc) {
+      sym = v;
+    } else {
+      sym = esc;
+      // Bypass chunks are read by the decoder low-to-high after the
+      // escape symbol; being LIFO we push them high-to-low first.
+      uint32_t u = overflow_to_unsigned(v, esc);
+      std::vector<uint32_t> chunks;
+      while (u >= (1u << kChunkBits)) {
+        chunks.push_back((1u << kChunkBits) | (u & ((1u << kChunkBits) - 1u)));
+        u >>= kChunkBits;
+      }
+      chunks.push_back(u);
+      for (int c = static_cast<int>(chunks.size()) - 1; c >= 0; --c)
+        enc.put_bits(chunks[c], kChunkBits + 1);
+    }
+    uint32_t start = static_cast<uint32_t>(cdf[sym]);
+    uint32_t freq = static_cast<uint32_t>(cdf[sym + 1] - cdf[sym]);
+    enc.put(start, freq);
+  }
+  return enc.finish(out, out_capacity);
+}
+
+int rans_decode(const uint8_t* in, int in_len, const int32_t* indexes, int n,
+                const int32_t* cdfs, int cdf_stride, const int32_t* cdf_lengths,
+                const int32_t* offsets, int32_t* values_out) {
+  RansDecoder dec;
+  dec.init(in, in_len);
+  for (int i = 0; i < n; ++i) {
+    int32_t ctx = indexes[i];
+    const int32_t* cdf = cdfs + static_cast<int64_t>(ctx) * cdf_stride;
+    int32_t L = cdf_lengths[ctx];
+    int64_t num_sym = L - 1;
+    int64_t esc = num_sym - 1;
+    uint32_t slot = dec.peek();
+    // Binary search: largest s with cdf[s] <= slot.
+    int lo = 0, hi = static_cast<int>(num_sym) - 1;
+    while (lo < hi) {
+      int mid = (lo + hi + 1) >> 1;
+      if (static_cast<uint32_t>(cdf[mid]) <= slot) lo = mid;
+      else hi = mid - 1;
+    }
+    int64_t sym = lo;
+    dec.advance(static_cast<uint32_t>(cdf[sym]),
+                static_cast<uint32_t>(cdf[sym + 1] - cdf[sym]));
+    int64_t v;
+    if (sym == esc) {
+      uint32_t u = 0;
+      uint32_t shift = 0;
+      for (;;) {
+        uint32_t chunk = dec.get_bits(kChunkBits + 1);
+        u |= (chunk & ((1u << kChunkBits) - 1u)) << shift;
+        shift += kChunkBits;
+        if (!(chunk >> kChunkBits)) break;
+        if (shift > 60) return -2;  // corrupt stream guard
+      }
+      v = overflow_from_unsigned(u, esc);
+    } else {
+      v = sym;
+    }
+    values_out[i] = static_cast<int32_t>(v + offsets[ctx]);
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Adaptive binary range coder + octree occupancy codec
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BinEncoder {
+  std::vector<uint8_t> out;
+  uint32_t low = 0;
+  uint32_t range = 0xFFFFFFFFu;
+
+  inline void encode(int bit, uint16_t* prob) {
+    // prob = P(bit==0) in [1, 2^16-1]
+    uint32_t split = (static_cast<uint64_t>(range) * (*prob)) >> 16;
+    if (bit == 0) {
+      range = split;
+      *prob += (65536 - *prob) >> 5;
+    } else {
+      uint32_t add = split + 1;
+      low += add;
+      if (low < add) carry();  // propagate carry
+      range -= add;
+      *prob -= *prob >> 5;
+    }
+    while (range < (1u << 24)) {
+      out.push_back(static_cast<uint8_t>(low >> 24));
+      low <<= 8;
+      range = (range << 8) | 0xff;
+    }
+  }
+
+  void carry() {
+    // Propagate carry into already-emitted bytes.
+    for (int i = static_cast<int>(out.size()) - 1; i >= 0; --i) {
+      if (++out[i] != 0) return;
+    }
+  }
+
+  void finish() {
+    for (int i = 0; i < 4; ++i) {
+      out.push_back(static_cast<uint8_t>(low >> 24));
+      low <<= 8;
+    }
+  }
+};
+
+struct BinDecoder {
+  const uint8_t* in;
+  int len;
+  int pos = 0;
+  uint32_t code = 0;
+  uint32_t range = 0xFFFFFFFFu;
+
+  void init(const uint8_t* data, int n) {
+    in = data;
+    len = n;
+    pos = 0;
+    code = 0;
+    range = 0xFFFFFFFFu;
+    for (int i = 0; i < 4; ++i) code = (code << 8) | (pos < len ? in[pos++] : 0);
+  }
+
+  inline int decode(uint16_t* prob) {
+    uint32_t split = (static_cast<uint64_t>(range) * (*prob)) >> 16;
+    int bit;
+    if (code <= split) {
+      bit = 0;
+      range = split;
+      *prob += (65536 - *prob) >> 5;
+    } else {
+      bit = 1;
+      code -= split + 1;
+      range -= split + 1;
+      *prob -= *prob >> 5;
+    }
+    while (range < (1u << 24)) {
+      code = (code << 8) | (pos < len ? in[pos++] : 0);
+      range = (range << 8) | 0xff;
+    }
+    return bit;
+  }
+};
+
+// Context model for one octree occupancy bit: (level capped, child
+// octant, number of already-coded occupied siblings capped at 3).
+constexpr int kMaxLevelCtx = 8;
+constexpr int kNumCtx = kMaxLevelCtx * 8 * 4;
+
+inline int ctx_index(int level, int child, int occ_so_far) {
+  int l = level < kMaxLevelCtx ? level : kMaxLevelCtx - 1;
+  int o = occ_so_far < 3 ? occ_so_far : 3;
+  return (l * 8 + child) * 4 + o;
+}
+
+struct Key3 {
+  int32_t x, y, z;
+};
+
+// Depth-first octree encode over a Morton-sorted coordinate range.
+void octree_encode_rec(BinEncoder& enc, std::vector<uint16_t>& probs,
+                       const Key3* pts, int lo, int hi, int level, int depth,
+                       int32_t cx, int32_t cy, int32_t cz) {
+  if (level == depth) return;  // leaf: single voxel
+  int shift = depth - 1 - level;
+  int child_lo[9];
+  child_lo[0] = lo;
+  // Partition points among the 8 children (points are Morton-sorted,
+  // so each child's points are contiguous).
+  int idx = lo;
+  for (int c = 0; c < 8; ++c) {
+    while (idx < hi) {
+      const Key3& p = pts[idx];
+      int cc = (((p.x >> shift) & 1) << 2) | (((p.y >> shift) & 1) << 1) |
+               ((p.z >> shift) & 1);
+      if (cc != c) break;
+      ++idx;
+    }
+    child_lo[c + 1] = idx;
+  }
+  int occ = 0;
+  for (int c = 0; c < 8; ++c) {
+    int bit = child_lo[c + 1] > child_lo[c] ? 1 : 0;
+    enc.encode(bit, &probs[ctx_index(level, c, occ)]);
+    occ += bit;
+  }
+  for (int c = 0; c < 8; ++c) {
+    if (child_lo[c + 1] > child_lo[c]) {
+      octree_encode_rec(enc, probs, pts, child_lo[c], child_lo[c + 1],
+                        level + 1, depth,
+                        (cx << 1) | ((c >> 2) & 1), (cy << 1) | ((c >> 1) & 1),
+                        (cz << 1) | (c & 1));
+    }
+  }
+}
+
+int octree_decode_rec(BinDecoder& dec, std::vector<uint16_t>& probs,
+                      int level, int depth, int32_t cx, int32_t cy, int32_t cz,
+                      int32_t* out, int cap, int count) {
+  if (level == depth) {
+    if (count >= cap) return -1;
+    out[count * 3 + 0] = cx;
+    out[count * 3 + 1] = cy;
+    out[count * 3 + 2] = cz;
+    return count + 1;
+  }
+  int bits[8];
+  int occ = 0;
+  for (int c = 0; c < 8; ++c) {
+    bits[c] = dec.decode(&probs[ctx_index(level, c, occ)]);
+    occ += bits[c];
+  }
+  for (int c = 0; c < 8; ++c) {
+    if (bits[c]) {
+      count = octree_decode_rec(dec, probs, level + 1, depth,
+                                (cx << 1) | ((c >> 2) & 1),
+                                (cy << 1) | ((c >> 1) & 1),
+                                (cz << 1) | (c & 1), out, cap, count);
+      if (count < 0) return count;
+    }
+  }
+  return count;
+}
+
+}  // namespace
+
+// coords: n unique voxels, each in [0, 2^depth). Returns bytes written.
+int octree_encode(const int32_t* coords, int n, int depth, uint8_t* out,
+                  int out_capacity) {
+  if (n <= 0) return 0;
+  std::vector<Key3> pts(n);
+  for (int i = 0; i < n; ++i)
+    pts[i] = {coords[i * 3], coords[i * 3 + 1], coords[i * 3 + 2]};
+  // Morton order sort (bit-interleaved x,y,z — x most significant, the
+  // recursion's child enumeration order).
+  std::sort(pts.begin(), pts.end(), [depth](const Key3& a, const Key3& b) {
+    for (int s = depth - 1; s >= 0; --s) {
+      int ca = (((a.x >> s) & 1) << 2) | (((a.y >> s) & 1) << 1) | ((a.z >> s) & 1);
+      int cb = (((b.x >> s) & 1) << 2) | (((b.y >> s) & 1) << 1) | ((b.z >> s) & 1);
+      if (ca != cb) return ca < cb;
+    }
+    return false;
+  });
+  BinEncoder enc;
+  std::vector<uint16_t> probs(kNumCtx, 32768);
+  octree_encode_rec(enc, probs, pts.data(), 0, n, 0, depth, 0, 0, 0);
+  enc.finish();
+  if (static_cast<int>(enc.out.size()) > out_capacity) return -1;
+  std::memcpy(out, enc.out.data(), enc.out.size());
+  return static_cast<int>(enc.out.size());
+}
+
+// Returns number of decoded coordinates (triplets in coords_out).
+int octree_decode(const uint8_t* in, int in_len, int depth, int32_t* coords_out,
+                  int out_capacity) {
+  if (in_len <= 0) return 0;
+  BinDecoder dec;
+  dec.init(in, in_len);
+  std::vector<uint16_t> probs(kNumCtx, 32768);
+  return octree_decode_rec(dec, probs, 0, depth, 0, 0, 0, coords_out,
+                           out_capacity, 0);
+}
+
+}  // extern "C"

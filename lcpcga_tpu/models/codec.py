@@ -105,11 +105,17 @@ class ColorModel(nn.Module):
     def analysis(self, x: SparseTensor, q: SparseTensor):
         return self.g_a(self.pad_occupancy(x), q)
 
-    def entropy_encode_arrays(self, y: SparseTensor, scale_table):
-        return self.entropy_model.encode_arrays(y, scale_table)
+    def entropy_encode_z(self, y: SparseTensor):
+        return self.entropy_model.encode_z(y)
 
     def entropy_decode_params(self, y_coords: SparseTensor, z_hat_feats):
         return self.entropy_model.decode_params(y_coords, z_hat_feats)
+
+    def eb_medians(self):
+        return self.entropy_model.eb_medians()
+
+    def eb_build_tables(self):
+        return self.entropy_model.eb.build_tables()
 
     def synthesis(self, y_hat: SparseTensor, q_hat: SparseTensor, k):
         return self.g_s(y_hat, q_hat, k)

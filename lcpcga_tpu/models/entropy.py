@@ -454,34 +454,29 @@ class MeanScaleHyperprior(nn.Module):
     def aux_loss(self):
         return self.eb.aux_loss()
 
-    # ---- codec-path pieces (called under jit from the codec; the rANS
-    # coder itself runs on host) ----
+    # ---- codec-path pieces (called under jit from the codec runtime;
+    # the rANS coder itself runs on host) ----
+    #
+    # Bit-exactness design: the encoder simulates the decoder by calling
+    # the SAME jitted ``decode_params`` program on the same inputs
+    # (y coordinates + integer-reconstructed ẑ), so Gaussian parameters
+    # and rANS contexts agree exactly — the reference achieves this by
+    # re-running h_s on the encoder (/root/reference/model/
+    # entropy_models.py:352-364) plus coordinate-sort wrappers; here it
+    # is one shared compiled function.
 
-    def encode_arrays(self, y: SparseTensor, scale_table: np.ndarray):
-        """Device-side half of compress: everything except rANS.
-
-        Returns z symbols, y symbols + indexes, and the dequantized
-        tensors the encoder-side decoder simulation needs
-        (/root/reference/model/entropy_models.py:341-381).
-        """
+    def encode_z(self, y: SparseTensor):
+        """h_a + integer quantization of z. Returns (z coded values
+        round(z - median) [B, capz, Ch] int32, z row counts [B])."""
         nbr8 = self_kernel_map(y)
         c16_st, d16_nbr, c32_st, d32_nbr = self.pyramid(y)
-        z, nbr16, nbr32 = self.hyper_analysis(y, nbr8, c16_st, d16_nbr, c32_st, d32_nbr)
-        z_sym, z_hat_f = self.eb.quantize_symbols(z.feats)
-        z_hat = z.with_feats(jnp.where(z.valid[..., None], z_hat_f, 0))
-        scales, means = self.hyper_synthesis(z_hat, nbr16, nbr32, c16_st, y, nbr8)
-        indexes = GaussianConditional.build_indexes(scales, scale_table)
-        y_sym = jnp.round(y.feats - means).astype(jnp.int32)
-        y_hat = y.with_feats(jnp.round(y.feats - means) + means)
-        return {
-            "z_symbols": z_sym,
-            "z_count": z.count,
-            "y_symbols": y_sym,
-            "y_indexes": indexes,
-            "y_means": means,
-            "y_hat": y_hat,
-            "z_hat": z_hat,
-        }
+        z, _, _ = self.hyper_analysis(y, nbr8, c16_st, d16_nbr, c32_st, d32_nbr)
+        z_sym, _ = self.eb.quantize_symbols(z.feats)
+        z_sym = jnp.where(z.valid[..., None], z_sym, 0)
+        return z_sym, z.count
+
+    def eb_medians(self):
+        return self.eb.medians()
 
     def decode_params(self, y_coords: SparseTensor, z_hat_feats: jax.Array):
         """Device-side half of decompress: rebuild (scales, means, q_hat)

@@ -1,0 +1,89 @@
+"""Encode -> file -> decode round trip (SURVEY.md §7 minimum slice /
+test-pyramid item 2): the decoder must reproduce the encoder's
+dequantized latents bit-exactly and the reconstruction deterministically."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lcpcga_tpu import ops
+from lcpcga_tpu.codec_runtime import PointCloudCodec
+from lcpcga_tpu.coding import Bitstream
+from lcpcga_tpu.data import QMap, batch_from_clouds, surface_cloud
+from lcpcga_tpu.models import Capacities, ColorModel
+
+
+@pytest.fixture(scope="module")
+def codec():
+    caps = Capacities(caps=(512, 512, 512, 384, 384, 384), cand_factor=27)
+    model = ColorModel(caps=caps, g_a_n1=16, g_a_n2=24, g_a_n3=24,
+                       g_s_n1=24, g_s_n2=24, g_s_n3=16,
+                       c_bottleneck=24, c_hyper=16)
+    coords, colors = surface_cloud(400, resolution=256, seed=7)
+    pc, pf, pv = batch_from_clouds([(coords, colors)], 512)
+    x = ops.from_coords(jnp.asarray(pc), jnp.asarray(pf), jnp.asarray(pv))
+    qm = QMap({"lambda_A_min": 0, "lambda_A_max": 6400,
+               "lambda_G_min": 0, "lambda_G_max": 200, "mode": "quadratic"})
+    q, lam = qm(x, jax.random.PRNGKey(0))
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        x, q, lam, training=True,
+    )
+    c = PointCloudCodec(model, params)
+    c.update()
+    return c, coords, colors
+
+
+def test_roundtrip_bit_exact_latents(codec):
+    c, coords, colors = codec
+    stream, enc_dbg = c.compress(coords, colors, (0.5, 0.5))
+    blob = stream.to_bytes()
+    parsed = Bitstream.from_bytes(blob)
+    (rec_coords, rec_colors), dec_dbg = c.decompress(parsed, return_debug=True)
+
+    # Latent coordinate set is lossless.
+    assert dec_dbg["n_y"] == enc_dbg["n_y"]
+    assert dec_dbg["n_z"] == enc_dbg["n_z"]
+    # Dequantized latents agree bit-exactly (encoder simulates decoder).
+    np.testing.assert_array_equal(enc_dbg["y_hat"], dec_dbg["y_hat"])
+    np.testing.assert_array_equal(enc_dbg["q_hat"], dec_dbg["q_hat"])
+
+    # Reconstruction has exactly k[-1] points, all inside the voxel grid.
+    assert rec_coords.shape[0] == stream.k[2] == coords.shape[0]
+    assert rec_colors.shape == (coords.shape[0], 3)
+    assert rec_coords.min() >= 0 and rec_coords.max() < 1024
+    # 8-bit color quantization contract (/root/reference/model/model.py:206)
+    assert np.allclose(rec_colors * 255, np.round(rec_colors * 255), atol=1e-4)
+
+
+def test_decode_deterministic(codec):
+    c, coords, colors = codec
+    stream, _ = c.compress(coords, colors, (0.2, 0.8))
+    a_coords, a_colors = c.decompress(stream)
+    b_coords, b_colors = c.decompress(stream)
+    np.testing.assert_array_equal(a_coords, b_coords)
+    np.testing.assert_array_equal(a_colors, b_colors)
+
+
+def test_file_roundtrip(codec, tmp_path):
+    c, coords, colors = codec
+    path = str(tmp_path / "cloud.lcp")
+    stream, _ = c.compress(coords, colors, (0.5, 0.5), path=path)
+    loaded = Bitstream.load(path)
+    r1 = c.decompress(stream)
+    r2 = c.decompress(loaded)
+    np.testing.assert_array_equal(r1[0], r2[0])
+    np.testing.assert_array_equal(r1[1], r2[1])
+
+
+def test_roundtrip_at_multiple_operating_points(codec):
+    """The 4 paper operating points (/root/reference/plot.py:31-36) all
+    round-trip. (Rate responsiveness to Q is a property of trained
+    weights — covered by the RD regression tests, not at random init.)"""
+    c, coords, colors = codec
+    for qg, qa in [(0.05, 0.1), (0.1, 0.2), (0.2, 0.4), (0.4, 0.8)]:
+        stream, enc_dbg = c.compress(coords, colors, (qg, qa))
+        (rc, _), dec_dbg = c.decompress(stream, return_debug=True)
+        np.testing.assert_array_equal(enc_dbg["y_hat"], dec_dbg["y_hat"])
+        assert rc.shape[0] == coords.shape[0]
