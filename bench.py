@@ -1,0 +1,92 @@
+"""Benchmark: encode+decode throughput on an 8iVFB-scale vox10 frame.
+
+Headline metric mirroring /root/reference/README.md:116-125: mean
+wall-clock compress + decompress of a ~780k-point voxelized human-scale
+cloud. Reference (RTX 4090 + EPYC 7542): 0.75 s encode + 1.84 s decode
+= 0.386 frames/s. vs_baseline = our_fps / 0.386.
+
+Prints ONE JSON line. Runs on whatever jax.default_backend() is (the
+driver provides the real TPU chip).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+REF_ENCODE_S = 0.75
+REF_DECODE_S = 1.84
+BASELINE_FPS = 1.0 / (REF_ENCODE_S + REF_DECODE_S)
+
+N_POINTS = 780_000
+WARMUP = 1
+ITERS = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from lcpcga_tpu.codec_runtime import PointCloudCodec
+    from lcpcga_tpu.data import QMap, surface_cloud
+    from lcpcga_tpu.models import Capacities, ColorModel
+    from lcpcga_tpu import ops
+
+    coords, colors = surface_cloud(N_POINTS, resolution=1024, seed=0)
+    n = coords.shape[0]
+
+    caps = Capacities.for_points(int(n * 1.05))
+    model = ColorModel(caps=caps)
+
+    # Random weights: timing-representative (same FLOPs/memory as
+    # trained weights; rate is meaningless until training lands).
+    cap1 = caps.cap(1)
+    pc = np.zeros((1, cap1, 3), np.int32)
+    pf = np.zeros((1, cap1, 3), np.float32)
+    pv = np.zeros((1, cap1), bool)
+    pc[0, :n], pf[0, :n], pv[0, :n] = coords, colors, True
+    x = ops.from_coords(jnp.asarray(pc), jnp.asarray(pf), jnp.asarray(pv))
+    qm = QMap({"lambda_A_min": 0, "lambda_A_max": 6400,
+               "lambda_G_min": 0, "lambda_G_max": 200, "mode": "quadratic"})
+    q, lam = qm(x, jax.random.PRNGKey(0))
+    init = jax.jit(lambda rngs, x, q, lam: model.init(rngs, x, q, lam, training=True))
+    params = init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x, q, lam
+    )
+
+    codec = PointCloudCodec(model, params)
+    codec.update()
+
+    # Warmup (compile).
+    for _ in range(WARMUP):
+        codec.timed_roundtrip(coords, colors, (0.2, 0.4))
+
+    enc, dec = [], []
+    for _ in range(ITERS):
+        r = codec.timed_roundtrip(coords, colors, (0.2, 0.4))
+        enc.append(r["t_compress"])
+        dec.append(r["t_decompress"])
+
+    t_enc = float(np.mean(enc))
+    t_dec = float(np.mean(dec))
+    fps = 1.0 / (t_enc + t_dec)
+    result = {
+        "metric": "encode_decode_fps",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "detail": {
+            "n_points": int(n),
+            "t_encode_s": round(t_enc, 4),
+            "t_decode_s": round(t_dec, 4),
+            "bpp_random_weights": round(r["bpp"], 3),
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

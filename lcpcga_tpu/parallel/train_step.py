@@ -1,0 +1,142 @@
+"""Sharded training step: dual-optimizer RD training over a device mesh.
+
+Replaces the reference's single-GPU loop body
+(/root/reference/train.py:171-221). The two-optimizer convention is
+kept: the main Adam(+StepLR, grad-clip) updates every parameter except
+the entropy bottleneck ``quantiles``; a second Adam drives the
+quantiles with the aux (tail-fitting) loss
+(/root/reference/train.py:63-78,203-213).
+
+The step is one jitted function over a data-parallel mesh: batch
+arrays are sharded on axis 0, parameters replicated; XLA inserts the
+gradient all-reduce over ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.qmap import QMap
+from ..ops import SparseTensor, from_coords
+from ..training.loss import Loss
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    aux_opt_state: Any
+    step: jax.Array
+
+
+def _is_quantile_path(path) -> bool:
+    return any(getattr(k, "key", None) == "quantiles" for k in path)
+
+
+def quantile_mask(params):
+    return jax.tree_util.tree_map_with_path(lambda p, _: _is_quantile_path(p), params)
+
+
+def main_optimizer(lr: float, scheduler_step: int, scheduler_gamma: float,
+                   clip: float = 1.0, steps_per_epoch: int = 1):
+    """Adam + StepLR(epoch granularity) + global-norm clip
+    (/root/reference/train.py:63-78,203)."""
+    sched = optax.exponential_decay(
+        init_value=lr,
+        transition_steps=scheduler_step * steps_per_epoch,
+        decay_rate=scheduler_gamma,
+        staircase=True,
+    )
+    return optax.chain(optax.clip_by_global_norm(clip), optax.adam(sched))
+
+
+def create_train_state(
+    model,
+    params,
+    lr: float = 1e-4,
+    aux_lr: float = 1e-3,
+    scheduler_step: int = 80,
+    scheduler_gamma: float = 0.1,
+    clip: float = 1.0,
+    steps_per_epoch: int = 1,
+) -> tuple[TrainState, optax.GradientTransformation, optax.GradientTransformation]:
+    mask = quantile_mask(params)
+    not_mask = jax.tree_util.tree_map(lambda b: not b, mask)
+    opt = optax.masked(
+        main_optimizer(lr, scheduler_step, scheduler_gamma, clip, steps_per_epoch),
+        not_mask,
+    )
+    aux_opt = optax.masked(optax.adam(aux_lr), mask)
+    state = TrainState(
+        params=params,
+        opt_state=opt.init(params),
+        aux_opt_state=aux_opt.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, opt, aux_opt
+
+
+def make_train_step(
+    model,
+    loss_fn: Loss,
+    qmap: QMap,
+    opt: optax.GradientTransformation,
+    aux_opt: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted (and optionally mesh-sharded) train step.
+
+    Step inputs: state, (coords [B,N,3], feats [B,N,3], valid [B,N]), rng.
+    Returns (state, metrics dict).
+    """
+
+    def step(state: TrainState, coords, feats, valid, rng):
+        x = from_coords(coords, feats, valid)
+        q_key, noise_key = jax.random.split(jax.random.fold_in(rng, state.step))
+        q, lam = qmap(x, q_key)
+
+        def objective(params):
+            out = model.apply(params, x, q, lam, training=True,
+                              rngs={"noise": noise_key})
+            total, parts = loss_fn(x, out)
+            return total, parts
+
+        (total, parts), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        def aux_objective(params):
+            return model.apply(params, method=type(model).aux_loss)
+
+        aux, aux_grads = jax.value_and_grad(aux_objective)(params)
+        aux_updates, aux_opt_state = aux_opt.update(aux_grads, state.aux_opt_state, params)
+        params = optax.apply_updates(params, aux_updates)
+
+        new_state = TrainState(
+            params=params,
+            opt_state=opt_state,
+            aux_opt_state=aux_opt_state,
+            step=state.step + 1,
+        )
+        metrics = {"loss": total, "aux_loss": aux, **parts}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+    repl = NamedSharding(mesh, P())
+    bsh = NamedSharding(mesh, P("data"))
+    # Shardings: state replicated, batch arrays sharded on axis 0.
+    return jax.jit(
+        step,
+        in_shardings=(repl, bsh, bsh, bsh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate else (),
+    )
