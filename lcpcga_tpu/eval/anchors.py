@@ -1,0 +1,115 @@
+"""External codec anchors: G-PCC (tmc3), V-PCC (tmc2), PCQM drivers.
+
+Subprocess drivers mirroring /root/reference/utils.py:476-619
+(compress_related) and :290-344 (pcqm). The binaries are external MPEG/
+MEPP tools; every driver is gated on binary presence so the harness
+degrades gracefully in hermetic environments (the reference hard-codes
+``./dependencies/...`` paths and crashes without them).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+import subprocess
+import tempfile
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..data.ply import read_ply, write_ply
+
+TMC3_ENV = "LCPCGA_TMC3"
+TMC2_DIR_ENV = "LCPCGA_TMC2_DIR"
+PCQM_ENV = "LCPCGA_PCQM"
+
+_DEFAULTS = {
+    TMC3_ENV: "dependencies/mpeg-pcc-tmc13/build/tmc3/tmc3",
+    TMC2_DIR_ENV: "dependencies/mpeg-pcc-tmc2/bin",
+    PCQM_ENV: "dependencies/PCQM/build/PCQM",
+}
+
+
+def find_binary(env_key: str) -> Optional[str]:
+    path = os.environ.get(env_key, _DEFAULTS[env_key])
+    if env_key == TMC2_DIR_ENV:
+        return path if os.path.isdir(path) else None
+    if os.path.isfile(path) and os.access(path, os.X_OK):
+        return path
+    which = shutil.which(os.path.basename(path))
+    return which
+
+
+def have_gpcc() -> bool:
+    return find_binary(TMC3_ENV) is not None
+
+
+def have_pcqm() -> bool:
+    return find_binary(PCQM_ENV) is not None
+
+
+def gpcc_roundtrip(coords: np.ndarray, colors: np.ndarray, qp: Dict,
+                   workdir: Optional[str] = None) -> Dict:
+    """G-PCC octree+RAHT encode/decode at the given quantization
+    parameters (argument set of /root/reference/utils.py:504-567).
+
+    qp: {"positionQuantizationScale": float, "qp": int}.
+    Returns {coords, colors, bpp, t_enc, t_dec}.
+    """
+    tmc3 = find_binary(TMC3_ENV)
+    if tmc3 is None:
+        raise RuntimeError("tmc3 binary not found; set $LCPCGA_TMC3")
+    with tempfile.TemporaryDirectory(dir=workdir) as td:
+        src = os.path.join(td, "in.ply")
+        binp = os.path.join(td, "out.bin")
+        rec = os.path.join(td, "rec.ply")
+        write_ply(src, coords.astype(np.float64), colors, ascii=True)
+        enc_args = [
+            tmc3, "--mode=0", "--trisoupNodeSizeLog2=0", "--mergeDuplicatedPoints=1",
+            "--neighbourAvailBoundaryLog2=8", "--intra_pred_max_node_size_log2=6",
+            f"--positionQuantizationScale={qp.get('positionQuantizationScale', 1)}",
+            "--maxNumQtBtBeforeOt=4", "--planarEnabled=1", "--planarModeIdcmUse=0",
+            "--convertPlyColourspace=1",
+            "--transformType=0", f"--qp={qp.get('qp', 34)}", "--qpChromaOffset=0",
+            "--bitdepth=8", "--attribute=color",
+            f"--uncompressedDataPath={src}", f"--compressedStreamPath={binp}",
+        ]
+        t0 = time.time()
+        subprocess.run(enc_args, check=True, capture_output=True)
+        t_enc = time.time() - t0
+        dec_args = [
+            tmc3, "--mode=1", "--convertPlyColourspace=1",
+            f"--compressedStreamPath={binp}", f"--reconstructedDataPath={rec}",
+            "--outputBinaryPly=0",
+        ]
+        t0 = time.time()
+        subprocess.run(dec_args, check=True, capture_output=True)
+        t_dec = time.time() - t0
+        out = read_ply(rec)
+        nbytes = os.path.getsize(binp)
+    return {
+        "coords": out["points"],
+        "colors": out.get("colors"),
+        "bpp": nbytes * 8.0 / coords.shape[0],
+        "t_compress": t_enc,
+        "t_decompress": t_dec,
+    }
+
+
+def pcqm(ref_ply: str, rec_ply: str, workdir: Optional[str] = None) -> float:
+    """PCQM perceptual metric via the MEPP-team binary, argument set of
+    /root/reference/utils.py:290-344 (-fq -r 0.004 -knn 20 -rx 2.0)."""
+    binary = find_binary(PCQM_ENV)
+    if binary is None:
+        raise RuntimeError("PCQM binary not found; set $LCPCGA_PCQM")
+    proc = subprocess.run(
+        [binary, ref_ply, rec_ply, "-fq", "-r", "0.004", "-knn", "20", "-rx", "2.0"],
+        capture_output=True, text=True, cwd=workdir or ".",
+    )
+    for line in proc.stdout.splitlines():
+        m = re.search(r"PCQM\s*value\s*is\s*:?\s*([0-9.eE+-]+)", line)
+        if m:
+            return float(m.group(1))
+    raise RuntimeError(f"could not parse PCQM output:\n{proc.stdout}")
