@@ -218,6 +218,27 @@ def downsample_map(st: SparseTensor, capacity: int, kernel_size: int = 3):
     return out_st, nbr
 
 
+def union_coords(a: SparseTensor, b: SparseTensor, capacity: int) -> SparseTensor:
+    """Coordinate-set union of two tensors at the same stride
+    (featureless result). Used by the sparse SSIM loss
+    (/root/reference/loss.py:308: union of GT and prediction coords)."""
+    assert a.stride == b.stride
+
+    def per_item(ka, kb):
+        merged = jnp.sort(jnp.concatenate([ka, kb]))
+        keep = C.unique_mask_sorted(merged)
+        out_keys, _, count = C.compact_keys(merged, keep, capacity)
+        return out_keys, count
+
+    keys, count = jax.vmap(per_item)(a.keys, b.keys)
+    return SparseTensor(
+        keys=keys,
+        feats=jnp.zeros(keys.shape + (0,), a.feats.dtype),
+        count=count,
+        stride=a.stride,
+    )
+
+
 def downsample_coords_only(st: SparseTensor, capacity: int) -> SparseTensor:
     """Coordinate-only stride-2 downsample (no kernel map).
 
