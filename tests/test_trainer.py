@@ -1,0 +1,57 @@
+"""Trainer integration: epochs run, checkpoints write, resume restores,
+weights export (contract of /root/reference/train.py:142-169,287-319)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from lcpcga_tpu.data.dataset import SyntheticCubeDataset
+from lcpcga_tpu.training.trainer import Training
+
+CFG = {
+    "experiment_name": "TestRun",
+    "model": {
+        "entropy_model": {"C_bottleneck": 16, "C_hyper_bottleneck": 8, "C_Q": 2},
+        "g_a": {"C_in": 4, "N1": 8, "N2": 16, "N3": 16, "source_condition": True},
+        "g_s": {"C_out": 3, "N1": 16, "N2": 16, "N3": 8, "source_condition": True},
+    },
+    "q_map": {"lambda_A_min": 0, "lambda_A_max": 6400,
+              "lambda_G_min": 0, "lambda_G_max": 200, "mode": "quadratic"},
+    "loss": {
+        "focal": {"type": "Multiscale_FocalLoss", "alpha": 0.5, "gamma": 2.0},
+        "color": {"type": "ColorLoss", "loss": "L2"},
+        "bpp-y": {"type": "BPPLoss", "key": "y", "weight": 1.0},
+        "bpp-z": {"type": "BPPLoss", "key": "z", "weight": 1.0},
+    },
+    "epochs": 2,
+    "batch_size": 2,
+    "capacity": 256,
+    "model_learning_rate": 1e-4,
+    "bottleneck_learning_rate": 1e-3,
+    "scheduler_step_size": 50,
+    "scheduler_gamma": 0.1,
+    "clip_grad_norm": 1.0,
+    "seed": 0,
+}
+
+
+def test_train_checkpoint_resume_export(tmp_path):
+    cfg = dict(CFG, results_path=str(tmp_path))
+    ds = SyntheticCubeDataset(num_samples=4, points_per_cube=150)
+    t = Training(cfg, dataset=ds)
+    history = t.train()
+    assert len(history) == 2
+    assert all(np.isfinite(h["loss"]) for h in history)
+    run_dir = os.path.join(str(tmp_path), "TestRun")
+    assert os.path.exists(os.path.join(run_dir, "ckpt_001.msgpack"))
+    assert os.path.exists(os.path.join(run_dir, "weights.msgpack"))
+    assert os.path.exists(os.path.join(run_dir, "config.yaml"))
+
+    # Resume: a fresh Training on the same results dir starts past epoch 1.
+    cfg2 = dict(cfg, epochs=3)
+    t2 = Training(cfg2, dataset=ds)
+    assert t2.start_epoch == 2
+    assert int(t2.state.step) > 0
+    history2 = t2.train()
+    assert len(history2) == 1  # only epoch 2 remained
