@@ -98,6 +98,65 @@ def gpcc_roundtrip(coords: np.ndarray, colors: np.ndarray, qp: Dict,
     }
 
 
+def have_vpcc() -> bool:
+    d = os.environ.get(TMC2_DIR_ENV, _DEFAULTS[TMC2_DIR_ENV])
+    return os.path.isfile(os.path.join(d, "PccAppEncoder"))
+
+
+def vpcc_roundtrip(coords: np.ndarray, colors: np.ndarray, rate: Dict,
+                   workdir: Optional[str] = None) -> Dict:
+    """V-PCC (tmc2) encode/decode driver (/root/reference/utils.py:568-612).
+
+    rate: {"geomQP": int, "attrQP": int, "occPrecision": int (opt),
+    "config_dir": path to tmc2 cfg/ (opt)}. Requires PccAppEncoder /
+    PccAppDecoder under $LCPCGA_TMC2_DIR.
+    """
+    d = os.environ.get(TMC2_DIR_ENV, _DEFAULTS[TMC2_DIR_ENV])
+    enc = os.path.join(d, "PccAppEncoder")
+    dec = os.path.join(d, "PccAppDecoder")
+    if not (os.path.isfile(enc) and os.path.isfile(dec)):
+        raise RuntimeError("tmc2 binaries not found; set $LCPCGA_TMC2_DIR")
+    cfg_dir = rate.get("config_dir", os.path.join(d, os.pardir, "cfg"))
+    with tempfile.TemporaryDirectory(dir=workdir) as td:
+        # tmc2 wants a frame-number template in the path
+        src = os.path.join(td, "in_%04d.ply")
+        write_ply(src % 0, coords.astype(np.float64), colors, ascii=True)
+        binp = os.path.join(td, "out.bin")
+        rec = os.path.join(td, "rec_%04d.ply")
+        enc_args = [
+            enc,
+            f"--config={os.path.join(cfg_dir, 'common', 'ctc-common.cfg')}",
+            f"--config={os.path.join(cfg_dir, 'condition', 'ctc-all-intra.cfg')}",
+            f"--uncompressedDataPath={src}",
+            f"--compressedStreamPath={binp}",
+            "--frameCount=1", "--startFrameNumber=0",
+            f"--geometryQP={rate.get('geomQP', 32)}",
+            f"--attributeQP={rate.get('attrQP', 42)}",
+            "--computeMetrics=0", "--computeChecksum=0",
+        ]
+        t0 = time.time()
+        subprocess.run(enc_args, check=True, capture_output=True)
+        t_enc = time.time() - t0
+        dec_args = [
+            dec,
+            f"--compressedStreamPath={binp}",
+            f"--reconstructedDataPath={rec}",
+            "--computeMetrics=0", "--computeChecksum=0", "--startFrameNumber=0",
+        ]
+        t0 = time.time()
+        subprocess.run(dec_args, check=True, capture_output=True)
+        t_dec = time.time() - t0
+        out = read_ply(rec % 0)
+        nbytes = os.path.getsize(binp)
+    return {
+        "coords": out["points"],
+        "colors": out.get("colors"),
+        "bpp": nbytes * 8.0 / coords.shape[0],
+        "t_compress": t_enc,
+        "t_decompress": t_dec,
+    }
+
+
 def pcqm(ref_ply: str, rec_ply: str, workdir: Optional[str] = None) -> float:
     """PCQM perceptual metric via the MEPP-team binary, argument set of
     /root/reference/utils.py:290-344 (-fq -r 0.004 -knn 20 -rx 2.0)."""

@@ -45,7 +45,7 @@ def rgb_to_yuv_uint8(rgb01: np.ndarray) -> np.ndarray:
 
 def _one_direction(
     a_pts, a_cols, b_pts, b_cols, b_tree: cKDTree, resolution: int,
-    drop_duplicates: bool,
+    drop_duplicates: bool, b_normals: Optional[np.ndarray] = None,
 ) -> Dict[str, float]:
     dists, idx = b_tree.query(a_pts, k=2, workers=-1)
     nn = idx[:, 0]
@@ -58,6 +58,15 @@ def _one_direction(
     }
     out["psnr_mse"] = 10 * np.log10(resolution**2 / max(out["mse"], 1e-20))
     out["psnr_hausdorff"] = 10 * np.log10(resolution**2 / max(out["hausdorff"], 1e-20))
+
+    if b_normals is not None:
+        # D2 point-to-plane: error projected onto the reference normal
+        # (MPEG PccAppMetrics convention; same /3 scaling as D1 so the
+        # PSNR formula matches the CSV columns).
+        proj = (diff * b_normals[nn]).sum(axis=1)
+        d2 = (proj * proj) / 3.0
+        out["d2_mse"] = float(d2.mean())
+        out["d2_psnr"] = 10 * np.log10(resolution**2 / max(out["d2_mse"], 1e-20))
 
     b_cols_ordered = b_cols[nn].copy()
     if not drop_duplicates:
@@ -104,16 +113,20 @@ class PointCloudMetric:
         recons_colors: np.ndarray,
         resolution: int = 1023,
         drop_duplicates: bool = True,
+        source_normals: Optional[np.ndarray] = None,
     ):
         if drop_duplicates:
             source_points, si = np.unique(source_points, axis=0, return_index=True)
             source_colors = source_colors[si]
+            if source_normals is not None:
+                source_normals = source_normals[si]
             recons_points, ri = np.unique(recons_points, axis=0, return_index=True)
             recons_colors = recons_colors[ri]
         self.sp = np.asarray(source_points, np.float64)
         self.sc = np.asarray(source_colors, np.float64)
         self.rp = np.asarray(recons_points, np.float64)
         self.rc = np.asarray(recons_colors, np.float64)
+        self.sn = None if source_normals is None else np.asarray(source_normals, np.float64)
         self.resolution = resolution
         self.s_tree = cKDTree(self.sp)
         self.r_tree = cKDTree(self.rp)
@@ -122,11 +135,17 @@ class PointCloudMetric:
         ab = _one_direction(self.sp, self.sc, self.rp, self.rc, self.r_tree,
                             self.resolution, drop_duplicates)
         ba = _one_direction(self.rp, self.rc, self.sp, self.sc, self.s_tree,
-                            self.resolution, drop_duplicates)
+                            self.resolution, drop_duplicates, b_normals=self.sn)
         result = {f"AB_{k}": v for k, v in ab.items()}
         result.update({f"BA_{k}": v for k, v in ba.items()})
         for k in ("mse", "hausdorff", "psnr_mse", "psnr_hausdorff",
                   "y_mse", "u_mse", "v_mse", "y_psnr", "u_psnr", "v_psnr",
                   "yuv_mse", "yuv_psnr"):
             result[f"sym_{k}"] = min(ab[k], ba[k])
+        if self.sn is not None:
+            # Only the B->A direction has reference normals; report it as
+            # the symmetric D2 (the reference CSV stores zeros without
+            # normals, /root/reference/results/Ours/test.csv sym_d2_*).
+            result["sym_d2_mse"] = ba["d2_mse"]
+            result["sym_d2_psnr"] = ba["d2_psnr"]
         return result, {}
