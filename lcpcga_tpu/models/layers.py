@@ -80,6 +80,11 @@ class GenerativeUp(nn.Module):
     Pipeline: 27-candidate coordinate expansion -> transposed conv ->
     conv pair -> occupancy logit -> top-k(k[b]) -> prune to capacity.
     Returns (pruned features, occupancy logits at all candidates).
+
+    Candidate sets reach ~15x the point count at full resolution, so all
+    convs on them are streamed (per-tap lookup inside a scan,
+    ops/conv.sparse_conv_streamed) instead of materializing [M, 27]
+    kernel maps.
     """
 
     out_channels: int
@@ -90,12 +95,16 @@ class GenerativeUp(nn.Module):
     def __call__(
         self, st: SparseTensor, k: jax.Array
     ) -> Tuple[SparseTensor, SparseTensor]:
+        from ..ops import SparseConvAt
+
         cand = expand_coords(st, self.cand_capacity)
-        nbr_t = transpose_map(st, cand.keys)
-        x = SparseConv(self.out_channels)(st, cand, nbr_t)
-        nbr_c = self_kernel_map(x)
-        x = ConvReluConv(self.out_channels, self.out_channels)(x, nbr_c)
-        occ = ConvReluConv(self.out_channels, 1)(x, nbr_c)
+        x = SparseConvAt(self.out_channels, transpose=True)(st, cand)
+        h = SparseConvAt(self.out_channels)(x, x)
+        h = h.with_feats(nn.relu(h.feats))
+        x = SparseConvAt(self.out_channels)(h, h)
+        h = SparseConvAt(self.out_channels)(x, x)
+        h = h.with_feats(nn.relu(h.feats))
+        occ = SparseConvAt(1)(h, h)
         keep = topk_mask(cand, occ.feats[..., 0], k)
         pruned = prune(x, keep, self.out_capacity)
         return pruned, occ

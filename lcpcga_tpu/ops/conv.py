@@ -84,6 +84,89 @@ def sparse_conv_apply(
     return out
 
 
+def sparse_conv_streamed(
+    in_st,
+    out_st,
+    offsets: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Sparse conv with per-tap kernel-map construction inside the scan.
+
+    Equivalent to kernel_map + sparse_conv_apply but never materializes
+    the [B, M, K] neighbor table — essential on generative-upsampling
+    candidate sets (M up to ~15x the point count; a materialized map
+    plus searchsorted temporaries OOMs HBM at vox10 scale). Per tap:
+    query coords -> packed keys -> binary-search lookup -> gather ->
+    GEMM-accumulate; peak live memory is O(M * Cout + M * Cin).
+    """
+    from . import coords as C
+
+    out_keys = out_st.keys
+    out_valid = out_st.valid
+    out_coords = C.unpack(out_keys)
+    feats = in_st.feats
+    B, M = out_keys.shape
+    Cout = kernel.shape[-1]
+    pad = jnp.concatenate([feats, jnp.zeros_like(feats[:, :1])], axis=1)
+
+    def body(acc, k):
+        off = jax.lax.dynamic_index_in_dim(offsets, k, axis=0, keepdims=False)
+        q = out_coords + off[None, None, :]
+        qk = jax.vmap(C.pack_valid)(q, out_valid)
+        idx = jax.vmap(C.lookup)(in_st.keys, qk)
+        g = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(pad, idx)
+        w = jax.lax.dynamic_index_in_dim(kernel, k, axis=0, keepdims=False)
+        acc = acc + jnp.einsum(
+            "bmi,io->bmo", g, w.astype(g.dtype), preferred_element_type=jnp.float32
+        )
+        return acc, None
+
+    init = jnp.zeros((B, M, Cout), jnp.float32)
+    out, _ = jax.lax.scan(body, init, jnp.arange(offsets.shape[0]))
+    out = out.astype(feats.dtype)
+    if bias is not None:
+        out = out + bias.astype(out.dtype)
+    return jnp.where(out_valid[..., None], out, 0)
+
+
+class SparseConvAt(nn.Module):
+    """Streamed sparse conv onto an explicit target coordinate set.
+
+    kernel taps in units of ``in_st.stride`` for ordinary convs, or
+    negated units of ``out_st.stride`` for transposed convs.
+    """
+
+    out_channels: int
+    kernel_size: int = 3
+    transpose: bool = False
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, in_st: SparseTensor, out_st: SparseTensor) -> SparseTensor:
+        from . import coords as C
+
+        if self.transpose:
+            offsets = -C.conv_offsets(self.kernel_size, out_st.stride)
+        else:
+            offsets = C.conv_offsets(self.kernel_size, in_st.stride)
+        K = offsets.shape[0]
+        Cin = in_st.num_channels
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (K, Cin, self.out_channels),
+            jnp.float32,
+        )
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.out_channels,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        feats = sparse_conv_streamed(in_st, out_st, offsets, kernel, bias)
+        return out_st.with_feats(feats)
+
+
 class SparseConv(nn.Module):
     """Sparse conv layer over a precomputed kernel map.
 
