@@ -84,46 +84,72 @@ def sparse_conv_apply(
     return out
 
 
+# Output rows processed per chunk in the streamed conv. Transients per
+# chunk are O(chunk * Cin) — small enough that several 10M-row candidate
+# sets fit HBM alongside their outputs.
+STREAM_CHUNK = 1 << 19
+
+
 def sparse_conv_streamed(
     in_st,
     out_st,
     offsets: jax.Array,
     kernel: jax.Array,
     bias: Optional[jax.Array] = None,
+    compute_dtype=jnp.bfloat16,
 ) -> jax.Array:
-    """Sparse conv with per-tap kernel-map construction inside the scan.
+    """Sparse conv with per-tap kernel-map construction, chunked over
+    output rows.
 
     Equivalent to kernel_map + sparse_conv_apply but never materializes
     the [B, M, K] neighbor table — essential on generative-upsampling
-    candidate sets (M up to ~15x the point count; a materialized map
-    plus searchsorted temporaries OOMs HBM at vox10 scale). Per tap:
-    query coords -> packed keys -> binary-search lookup -> gather ->
-    GEMM-accumulate; peak live memory is O(M * Cout + M * Cin).
+    candidate sets (M up to ~15x the point count at vox10 scale, where a
+    materialized map plus gather temporaries OOMs HBM). The output rows
+    are processed in STREAM_CHUNK slices; per slice and tap: query
+    coords -> packed keys -> binary-search lookup -> gather (bf16) ->
+    MXU GEMM accumulated in f32. Peak transient memory is
+    O(chunk * Cin) regardless of M.
     """
     from . import coords as C
 
     out_keys = out_st.keys
     out_valid = out_st.valid
-    out_coords = C.unpack(out_keys)
     feats = in_st.feats
     B, M = out_keys.shape
+    K = offsets.shape[0]
     Cout = kernel.shape[-1]
-    pad = jnp.concatenate([feats, jnp.zeros_like(feats[:, :1])], axis=1)
+    pad = jnp.concatenate(
+        [feats.astype(compute_dtype), jnp.zeros_like(feats[:, :1], compute_dtype)],
+        axis=1,
+    )
+    kern = kernel.astype(compute_dtype)
 
-    def body(acc, k):
-        off = jax.lax.dynamic_index_in_dim(offsets, k, axis=0, keepdims=False)
-        q = out_coords + off[None, None, :]
-        qk = jax.vmap(C.pack_valid)(q, out_valid)
-        idx = jax.vmap(C.lookup)(in_st.keys, qk)
-        g = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(pad, idx)
-        w = jax.lax.dynamic_index_in_dim(kernel, k, axis=0, keepdims=False)
-        acc = acc + jnp.einsum(
-            "bmi,io->bmo", g, w.astype(g.dtype), preferred_element_type=jnp.float32
-        )
-        return acc, None
+    chunk = min(STREAM_CHUNK, M)
+    n_chunks = -(-M // chunk)
+    pad_rows = n_chunks * chunk - M
+    keys_p = jnp.pad(out_keys, ((0, 0), (0, pad_rows)), constant_values=C.INVALID_KEY)
+    keys_c = keys_p.reshape(B, n_chunks, chunk)
 
-    init = jnp.zeros((B, M, Cout), jnp.float32)
-    out, _ = jax.lax.scan(body, init, jnp.arange(offsets.shape[0]))
+    def do_chunk(chunk_keys):  # [B, chunk]
+        coords = C.unpack(chunk_keys)
+        valid = chunk_keys != C.INVALID_KEY
+
+        def tap(acc, k):
+            off = jax.lax.dynamic_index_in_dim(offsets, k, axis=0, keepdims=False)
+            qk = jax.vmap(C.pack_valid)(coords + off[None, None, :], valid)
+            idx = jax.vmap(C.lookup)(in_st.keys, qk)
+            g = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(pad, idx)
+            w = jax.lax.dynamic_index_in_dim(kern, k, axis=0, keepdims=False)
+            return acc + jnp.einsum(
+                "bmi,io->bmo", g, w, preferred_element_type=jnp.float32
+            ), None
+
+        init = jnp.zeros((B, chunk, Cout), jnp.float32)
+        acc, _ = jax.lax.scan(tap, init, jnp.arange(K))
+        return acc
+
+    out = jax.lax.map(do_chunk, jnp.moveaxis(keys_c, 1, 0))  # [n_chunks, B, chunk, Cout]
+    out = jnp.moveaxis(out, 0, 1).reshape(B, n_chunks * chunk, Cout)[:, :M]
     out = out.astype(feats.dtype)
     if bias is not None:
         out = out + bias.astype(out.dtype)

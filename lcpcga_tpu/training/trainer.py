@@ -167,12 +167,66 @@ class Training:
         print(f"epoch {epoch}: loss={meter.avg:.4f} aux={aux_meter.avg:.4f} ({dt:.1f}s)")
         return {"epoch": epoch, "loss": meter.avg, "aux_loss": aux_meter.avg, "time": dt}
 
-    def train(self, val_every: int = 10, val_fn=None):
+    def validate(self, epoch: int, val_frames=None,
+                 q_points=((0.2, 0.2), (0.2, 0.8), (0.8, 0.2), (0.8, 0.8)),
+                 render: bool = True):
+        """Validation through the REAL compress->decompress path at a
+        2x2 (q_g, q_a) grid, with metrics + renders
+        (/root/reference/train.py:223-285)."""
+        import pandas as pd
+
+        from ..codec_runtime import PointCloudCodec
+        from ..eval.metrics import PointCloudMetric
+        from ..eval.render import render_views
+        from ..models import Capacities, make_model
+
+        if val_frames is None:
+            from ..data.synthetic import surface_cloud
+
+            vc, vcol = surface_cloud(20000, 1024, seed=123)
+            val_frames = [{"points": vc, "colors": vcol,
+                           "sequence": "synthetic_val", "frame": 0}]
+        n_max = max(f["points"].shape[0] for f in val_frames)
+        caps = Capacities.for_points(int(n_max * 1.1))
+        model = make_model(self.config["model"], caps)
+        codec = PointCloudCodec(model, self.state.params)
+        codec.update()
+        rows = []
+        for frame in val_frames:
+            coords = frame["points"].astype(np.int32)
+            colors = frame["colors"].astype(np.float32)
+            for (q_g, q_a) in q_points:
+                r = codec.timed_roundtrip(coords, colors, (q_g, q_a))
+                rc, rcol = r["reconstruction"]
+                m, _ = PointCloudMetric(coords, colors, rc, rcol).compute_pointcloud_metrics()
+                rows.append({
+                    "epoch": epoch, "sequence": frame.get("sequence", "?"),
+                    "q_g": q_g, "q_a": q_a, "bpp": r["bpp"],
+                    "sym_y_psnr": m["sym_y_psnr"], "sym_p2p_psnr": m["sym_psnr_mse"],
+                    "t_compress": r["t_compress"], "t_decompress": r["t_decompress"],
+                })
+                if render:
+                    render_views(
+                        rc, rcol,
+                        os.path.join(self.results_dir, "renders",
+                                     f"ep{epoch:03d}_{frame.get('sequence','?')}"
+                                     f"_g{q_g}_a{q_a}_{{}}.png"),
+                        views=("front",),
+                    )
+        df = pd.DataFrame(rows)
+        path = os.path.join(self.results_dir, "val.csv")
+        df.to_csv(path, mode="a", header=not os.path.exists(path))
+        return df
+
+    def train(self, val_every: int = 10, val_fn=None, val_frames=None):
         history = []
         for epoch in range(self.start_epoch, self.epochs):
             history.append(self.train_epoch(epoch))
             self.save_checkpoint(epoch)
-            if val_fn is not None and (epoch + 1) % val_every == 0:
-                val_fn(self.model, self.state.params, epoch)
+            if (epoch + 1) % val_every == 0:
+                if val_fn is not None:
+                    val_fn(self.model, self.state.params, epoch)
+                elif self.config.get("validate", False):
+                    self.validate(epoch, val_frames)
         self.export_weights()
         return history
