@@ -97,16 +97,23 @@ class GenerativeUp(nn.Module):
     ) -> Tuple[SparseTensor, SparseTensor]:
         from ..ops import SparseConvAt
 
+        in_dtype = st.feats.dtype
         cand = expand_coords(st, self.cand_capacity)
         x = SparseConvAt(self.out_channels, transpose=True)(st, cand)
+        # Candidate-set activations live in bf16: at full resolution the
+        # candidate set is ~15x the point count and several [M, C]
+        # buffers are live at once — f32 here is what OOMs a 16GB chip.
+        x = x.with_feats(x.feats.astype(jnp.bfloat16))
         h = SparseConvAt(self.out_channels)(x, x)
         h = h.with_feats(nn.relu(h.feats))
         x = SparseConvAt(self.out_channels)(h, h)
         h = SparseConvAt(self.out_channels)(x, x)
         h = h.with_feats(nn.relu(h.feats))
         occ = SparseConvAt(1)(h, h)
+        occ = occ.with_feats(occ.feats.astype(jnp.float32))
         keep = topk_mask(cand, occ.feats[..., 0], k)
         pruned = prune(x, keep, self.out_capacity)
+        pruned = pruned.with_feats(pruned.feats.astype(in_dtype))
         return pruned, occ
 
 
