@@ -99,10 +99,24 @@ class PointCloudCodec:
     def update(self):
         get_lib()  # build the native coder eagerly
         self.tables_y = GaussianConditional.build_codec_tables(self.scale_table)
-        self.tables_z = self.model.apply(self.params, method=_CM.eb_build_tables)
-        self.z_medians = np.asarray(
-            self.model.apply(self.params, method=_CM.eb_medians)
-        ).astype(np.float32)
+        # One jitted device call for the density window; slicing +
+        # quantization on host (eager TPU dispatch is ~seconds/op
+        # through the tunnel — never evaluate the EB pointwise).
+        pmf, cdf_lo, cdf_hi = jax.jit(
+            lambda p: self.model.apply(p, method=_CM.eb_pmf_window)
+        )(self.params)
+        quantiles, medians = jax.jit(
+            lambda p: (
+                self.model.apply(p, method=_CM.eb_quantiles),
+                self.model.apply(p, method=_CM.eb_medians),
+            )
+        )(self.params)
+        from .models.entropy import EntropyBottleneck
+
+        self.tables_z = EntropyBottleneck.tables_from_window(
+            quantiles, pmf, cdf_lo, cdf_hi
+        )
+        self.z_medians = np.asarray(medians).astype(np.float32)
 
     def _require_tables(self):
         if self.tables_y is None:

@@ -114,8 +114,11 @@ class ColorModel(nn.Module):
     def eb_medians(self):
         return self.entropy_model.eb_medians()
 
-    def eb_build_tables(self):
-        return self.entropy_model.eb.build_tables()
+    def eb_pmf_window(self):
+        return self.entropy_model.eb.pmf_window()
+
+    def eb_quantiles(self):
+        return self.entropy_model.eb.quantiles
 
     def synthesis(self, y_hat: SparseTensor, q_hat: SparseTensor, k):
         return self.g_s(y_hat, q_hat, k)

@@ -264,31 +264,46 @@ class EntropyBottleneck(nn.Module):
         v = jnp.round(x - med)
         return v.astype(jnp.int32), v + med
 
-    # ---- update(): bake CDF tables (host-side, numpy) ----
+    # ---- update(): bake CDF tables ----
 
-    def build_tables(self) -> CodecTables:
-        q = np.asarray(self.quantiles)[:, 0, :]
-        med = q[:, 1]
-        minima = np.maximum(np.ceil(med - q[:, 0]).astype(np.int32), 0)
-        maxima = np.maximum(np.ceil(q[:, 2] - med).astype(np.int32), 0)
-        lengths = minima + maxima + 1
-        max_len = int(lengths.max())
-        # Sample the density at integer offsets around the median.
-        offs = np.arange(max_len)[None, :] - minima[:, None]  # [C, max_len]
-        samples = jnp.asarray(offs + med[:, None], jnp.float32)[:, None, :]  # [C,1,L]
+    # Static half-window for the jitted density evaluation: one device
+    # call computes the pmf over [median-K, median+K] for every channel;
+    # the host slices each channel's true [minima, maxima] support out.
+    # (Eager per-op evaluation over the TPU tunnel costs seconds per op —
+    # update() must be a single compiled call.)
+    TABLE_HALF_WINDOW = 256
+
+    def pmf_window(self):
+        """Jit-able: (pmf [C, 2K+1], cdf_lower [C, 2K+1]) around medians."""
+        K = self.TABLE_HALF_WINDOW
+        med = self.medians()
+        offs = jnp.arange(-K, K + 1, dtype=jnp.float32)
+        samples = (med[:, None] + offs[None, :])[:, None, :]  # [C,1,L]
         upper = self._logits_cumulative(samples + 0.5)
         lower = self._logits_cumulative(samples - 0.5)
         sign = -jnp.sign(upper + lower)
-        pmf = np.asarray(
-            jnp.abs(jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower))
-        )[:, 0, :]
-        # Tail mass beyond the modeled support.
-        lo = np.asarray(jax.nn.sigmoid(lower[:, 0, 0]))
-        hi = np.asarray(jax.nn.sigmoid(-upper[:, 0, :]))
-        tails = lo + hi[np.arange(len(lengths)), lengths - 1]
-        mask = np.arange(max_len)[None, :] < lengths[:, None]
-        pmf = np.where(mask, pmf, 0.0)
-        return build_tables(pmf, lengths, -minima, tails)
+        pmf = jnp.abs(jax.nn.sigmoid(sign * upper) - jax.nn.sigmoid(sign * lower))
+        return pmf[:, 0, :], jax.nn.sigmoid(lower[:, 0, :]), jax.nn.sigmoid(-upper[:, 0, :])
+
+    @classmethod
+    def tables_from_window(cls, quantiles, pmf, cdf_lo, cdf_hi) -> CodecTables:
+        """Host-side: slice per-channel supports and quantize CDFs."""
+        K = cls.TABLE_HALF_WINDOW
+        q = np.asarray(quantiles)[:, 0, :]
+        med = q[:, 1]
+        minima = np.clip(np.ceil(med - q[:, 0]).astype(np.int32), 0, K)
+        maxima = np.clip(np.ceil(q[:, 2] - med).astype(np.int32), 0, K)
+        lengths = minima + maxima + 1
+        max_len = int(lengths.max())
+        C_ = len(med)
+        pmf = np.asarray(pmf)
+        out = np.zeros((C_, max_len), np.float64)
+        tails = np.zeros(C_, np.float64)
+        for c in range(C_):
+            lo, hi = K - minima[c], K + maxima[c] + 1
+            out[c, : lengths[c]] = pmf[c, lo:hi]
+            tails[c] = float(cdf_lo[c, lo]) + float(cdf_hi[c, hi - 1])
+        return build_tables(out, lengths, -minima, tails)
 
 
 # ---------------------------------------------------------------------------
