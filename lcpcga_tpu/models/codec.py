@@ -42,6 +42,11 @@ class ColorModel(nn.Module):
     c_q: int = 2
     source_condition: bool = True
     condition_ablation: bool = False
+    # Ablation: code the quality map with its own hyperprior instead of
+    # the h_q head (presence of the "entropy_model_map" config key in
+    # the reference, /root/reference/model/model.py:22-27,71-78).
+    separate_q_model: bool = False
+    q_model_hyper: int = 32
 
     def setup(self):
         self.g_a = AnalysisTransform(
@@ -67,8 +72,17 @@ class ColorModel(nn.Module):
             c_bottleneck=self.c_bottleneck,
             c_hyper=self.c_hyper,
             c_q=self.c_q,
-            use_q_head=True,
+            use_q_head=not self.separate_q_model,
         )
+        if self.separate_q_model:
+            self.entropy_model_map = MeanScaleHyperprior(
+                caps=self.caps,
+                c_bottleneck=self.c_q,
+                c_hyper=self.q_model_hyper,
+                use_q_head=False,
+            )
+        else:
+            self.entropy_model_map = None
 
     @staticmethod
     def pad_occupancy(x: SparseTensor) -> SparseTensor:
@@ -86,20 +100,29 @@ class ColorModel(nn.Module):
         """x: RGB cloud [B,N,3]; q: quality map [B,N,2]; lam: λ-map [B,N,2]."""
         x4 = self.pad_occupancy(x)
         y, q_latent, k = self.g_a(x4, q)
-        y_hat, q_hat, (lik_y, lik_z) = self.entropy_model(y, training)
+        if self.separate_q_model:
+            y_hat, _, (lik_y, lik_z) = self.entropy_model(y, training)
+            q_hat, _, (lik_qy, lik_qz) = self.entropy_model_map(q_latent, training)
+            likelihoods = {"y": [lik_y, lik_qy], "z": [lik_z, lik_qz]}
+        else:
+            y_hat, q_hat, (lik_y, lik_z) = self.entropy_model(y, training)
+            likelihoods = {"y": lik_y, "z": lik_z}
         x_hat, points, predictions = self.g_s(y_hat, q_hat, k, gt=x)
         return {
             "prediction": x_hat,
             "points": points,
             "occ_predictions": predictions,
             "q_map": lam,
-            "likelihoods": {"y": lik_y, "z": lik_z},
+            "likelihoods": likelihoods,
             "k": k,
             "y": y,
         }
 
     def aux_loss(self):
-        return self.entropy_model.aux_loss()
+        aux = self.entropy_model.aux_loss()
+        if self.separate_q_model:
+            aux = aux + self.entropy_model_map.aux_loss()
+        return aux
 
     # Exposed sub-paths for the codec runtime (compress/decompress).
     def analysis(self, x: SparseTensor, q: SparseTensor):
@@ -130,7 +153,15 @@ def model_config_from_dict(cfg: Dict[str, Any]) -> Dict[str, Any]:
     g_a = cfg.get("g_a", {})
     g_s = cfg.get("g_s", {})
     em = cfg.get("entropy_model", {})
+    em_map = cfg.get("entropy_model_map")
+    extra = {}
+    if em_map is not None:
+        extra = dict(
+            separate_q_model=True,
+            q_model_hyper=em_map.get("C_hyper_bottleneck", 32),
+        )
     return dict(
+        **extra,
         c_in=g_a.get("C_in", 4),
         g_a_n1=g_a.get("N1", 64),
         g_a_n2=g_a.get("N2", 128),

@@ -65,6 +65,25 @@ class Capacities:
         return min(27 * self.cap(stride_in), self.cand_factor * self.cap(stride_in))
 
     @classmethod
+    def for_cloud(cls, coords, margin: float = 1.3) -> "Capacities":
+        """Exact per-stride occupancy of a concrete cloud + margin.
+
+        Encoder-side capacity planning; the decoder must be constructed
+        with the same profile (capacities are part of the compiled
+        program, like a codec level/tier)."""
+        import numpy as np
+
+        from ..ops import round_up
+
+        c = np.asarray(coords)
+        caps = []
+        for level in range(6):
+            s = 1 << level
+            cnt = len(np.unique((c // s) * s, axis=0)) if s > 1 else c.shape[0]
+            caps.append(max(256, round_up(int(cnt * margin))))
+        return cls(caps=tuple(caps))
+
+    @classmethod
     def for_points(cls, n: int, batch_safety: float = 1.0) -> "Capacities":
         """Schedule from measured vox10 surface occupancy (fractions of
         the point count per stride: ~0.65 / 0.25 / 0.07 / 0.02 / 0.005,

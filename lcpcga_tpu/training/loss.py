@@ -40,9 +40,13 @@ class BPPLoss:
         self.key = config["key"]
 
     def __call__(self, gt: SparseTensor, pred: Dict[str, Any]) -> jax.Array:
-        lik = pred["likelihoods"][self.key]
-        num_points = jnp.maximum(jnp.sum(gt.count), 1).astype(lik.dtype)
-        bits = jnp.sum(jnp.log(lik)) / (-math.log(2) * num_points)
+        liks = pred["likelihoods"][self.key]
+        if not isinstance(liks, (list, tuple)):
+            liks = [liks]
+        num_points = jnp.maximum(jnp.sum(gt.count), 1).astype(liks[0].dtype)
+        bits = 0.0
+        for lik in liks:
+            bits = bits + jnp.sum(jnp.log(lik)) / (-math.log(2) * num_points)
         return bits * self.weight
 
 
