@@ -77,44 +77,110 @@ class GenerativeUp(nn.Module):
     """Stride s -> s/2 generative upsample with occupancy prediction and
     per-item top-k pruning (/root/reference/model/blocks.py:78-181).
 
-    Pipeline: 27-candidate coordinate expansion -> transposed conv ->
-    conv pair -> occupancy logit -> top-k(k[b]) -> prune to capacity.
-    Returns (pruned features, occupancy logits at all candidates).
+    Pipeline: 27-candidate expansion -> transposed conv -> conv pair ->
+    occupancy logit -> top-k(k[b]) -> prune to capacity. Returns
+    (pruned features, occupancy logits at all candidates).
 
-    Candidate sets reach ~15x the point count at full resolution, so all
-    convs on them are streamed (per-tap lookup inside a scan,
-    ops/conv.sparse_conv_streamed) instead of materializing [M, 27]
-    kernel maps.
+    Two numerically equivalent execution paths over SHARED parameters
+    (raw [27, Cin, Cout] taps, so checkpoints are path-agnostic):
+
+      * tiled (tile_capacity > 0): rasterize candidates into dense 4^3
+        tiles and run shifted dense einsums on the MXU (ops/tiles) —
+        the fast path; per-element gathers measured ~100M/s on v5e make
+        gather-style convs on ~10M-candidate sets take tens of seconds.
+      * streamed: per-tap lookup+gather convs (ops/conv) — reference
+        implementation and CPU/test path.
     """
 
     out_channels: int
     cand_capacity: int
     out_capacity: int
+    tile_capacity: int = 0
+
+    def _params(self, c_in: int):
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
+        co = self.out_channels
+
+        def pk(name, ci, cout):
+            return (
+                self.param(name, init, (27, ci, cout), jnp.float32),
+                self.param(f"{name}_bias", nn.initializers.zeros, (cout,), jnp.float32),
+            )
+
+        return {
+            "transpose": pk("transpose", c_in, co),
+            "conv1": pk("conv1", co, co),
+            "conv2": pk("conv2", co, co),
+            "occ1": pk("occ1", co, co),
+            "occ2": pk("occ2", co, 1),
+        }
 
     @nn.compact
     def __call__(
-        self, st: SparseTensor, k: jax.Array
-    ) -> Tuple[SparseTensor, SparseTensor]:
-        from ..ops import SparseConvAt
+        self, st: SparseTensor, k: jax.Array, extract_occ: bool = True
+    ):
+        p = self._params(st.num_channels)
+        if self.tile_capacity > 0:
+            return self._tiled(st, k, p, extract_occ)
+        return self._streamed(st, k, p, extract_occ)
+
+    def _streamed(self, st, k, p, extract_occ):
+        from ..ops.conv import sparse_conv_streamed
+        from ..ops import coords as Cc
 
         in_dtype = st.feats.dtype
         cand = expand_coords(st, self.cand_capacity)
-        x = SparseConvAt(self.out_channels, transpose=True)(st, cand)
-        # Candidate-set activations live in bf16: at full resolution the
-        # candidate set is ~15x the point count and several [M, C]
-        # buffers are live at once — f32 here is what OOMs a 16GB chip.
-        x = x.with_feats(x.feats.astype(jnp.bfloat16))
-        h = SparseConvAt(self.out_channels)(x, x)
-        h = h.with_feats(nn.relu(h.feats))
-        x = SparseConvAt(self.out_channels)(h, h)
-        h = SparseConvAt(self.out_channels)(x, x)
-        h = h.with_feats(nn.relu(h.feats))
-        occ = SparseConvAt(1)(h, h)
-        occ = occ.with_feats(occ.feats.astype(jnp.float32))
+        offs_t = -Cc.conv_offsets(3, cand.stride)
+        offs = Cc.conv_offsets(3, cand.stride)
+
+        x = cand.with_feats(
+            sparse_conv_streamed(st, cand, offs_t, *p["transpose"]).astype(jnp.bfloat16)
+        )
+        h = x.with_feats(nn.relu(sparse_conv_streamed(x, x, offs, *p["conv1"])))
+        x = h.with_feats(sparse_conv_streamed(h, h, offs, *p["conv2"]))
+        h = x.with_feats(nn.relu(sparse_conv_streamed(x, x, offs, *p["occ1"])))
+        occ = h.with_feats(
+            sparse_conv_streamed(h, h, offs, *p["occ2"]).astype(jnp.float32)
+        )
         keep = topk_mask(cand, occ.feats[..., 0], k)
         pruned = prune(x, keep, self.out_capacity)
         pruned = pruned.with_feats(pruned.feats.astype(in_dtype))
-        return pruned, occ
+        return pruned, (occ if extract_occ else None)
+
+    def _tiled(self, st, k, p, extract_occ):
+        from ..ops import tiles as TL
+
+        in_dtype = st.feats.dtype
+        grid, emb = TL.build_upsample_grid(st, self.tile_capacity)
+        nbr = TL.neighbor_rows(grid.keys)
+        cell_mask = grid.mask & grid.valid[:, :, None]  # [B, Nt, T^3]
+
+        def conv(f, kern_bias, flip=False, relu=False):
+            kern, bias = kern_bias
+            out = TL.apply_mask(grid, TL.dense_conv(f, nbr, kern, bias, flip=flip))
+            return nn.relu(out) if relu else out
+
+        x = conv(emb.astype(jnp.bfloat16), p["transpose"], flip=True)
+        h = conv(x, p["conv1"], relu=True)
+        x = conv(h, p["conv2"])
+        h = conv(x, p["occ1"], relu=True)
+        occ = conv(h, p["occ2"]).astype(jnp.float32)  # [B, Nt, T^3] (Cout=1)
+
+        # Per-item top-k over masked dense logits.
+        B = grid.keys.shape[0]
+        logits = jnp.where(cell_mask, occ, -jnp.inf).reshape(B, -1)
+        order = jnp.argsort(-logits, axis=-1, stable=True)
+        rank = jnp.argsort(order, axis=-1)
+        keep = (rank < k[:, None]).reshape(cell_mask.shape) & cell_mask
+
+        pruned = TL.extract_sparse(grid, x, keep, self.out_capacity,
+                                   feats_dtype=in_dtype)
+        occ_sparse = (
+            TL.extract_sparse(grid, occ, cell_mask, self.cand_capacity)
+            if extract_occ
+            else None
+        )
+        return pruned, occ_sparse
 
 
 class UpsampleTo(nn.Module):

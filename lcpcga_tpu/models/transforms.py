@@ -54,6 +54,9 @@ class Capacities:
 
     caps: Tuple[int, int, int, int, int, int]
     cand_factor: int = 18
+    # Tiled-dense generative upsampling (ops/tiles). 0 disables (the
+    # streamed gather path is then used — slower, reference semantics).
+    tile_fraction: float = 0.7
 
     def cap(self, stride: int) -> int:
         return self.caps[stride.bit_length() - 1]
@@ -63,6 +66,15 @@ class Capacities:
         stride_in. Measured dedup'd candidate counts on vox10 surfaces
         are 12-16x the parent count; 18x leaves margin."""
         return min(27 * self.cap(stride_in), self.cand_factor * self.cap(stride_in))
+
+    def tile_cap(self, stride_in: int) -> int:
+        """Active-tile capacity for tiled upsampling FROM stride_in
+        (measured: <= 0.65 tiles per parent at T=4 on vox10 surfaces)."""
+        if self.tile_fraction <= 0:
+            return 0
+        from ..ops import round_up
+
+        return max(256, round_up(int(self.tile_fraction * self.cap(stride_in))))
 
     @classmethod
     def for_cloud(cls, coords, margin: float = 1.3) -> "Capacities":
@@ -214,24 +226,32 @@ class SparseSynthesisTransform(nn.Module):
         qf = qf.with_feats(nn.relu(nn.Dense(16)(qf.feats)))
         qf = SparseConv(2)(qf, qf, nbr8)
 
+        extract_occ = gt is not None
+
         # Stage 1: stride 8 -> 4.
         bg = QPredict(self.n1)(qf, nbr8)
         x = ScaledBlock(self.n1)(x, nbr8, bg)
-        x, occ4 = GenerativeUp(self.n1, self.caps.cand(8), self.caps.cap(4))(x, k[:, 0])
+        x, occ4 = GenerativeUp(
+            self.n1, self.caps.cand(8), self.caps.cap(4), self.caps.tile_cap(8)
+        )(x, k[:, 0], extract_occ)
         qf = UpsampleTo(2)(qf, x)
         nbr4 = self_kernel_map(x)
 
         # Stage 2: stride 4 -> 2.
         bg = QPredict(self.n1)(qf, nbr4)
         x = ScaledBlock(self.n1)(x, nbr4, bg)
-        x, occ2 = GenerativeUp(self.n2, self.caps.cand(4), self.caps.cap(2))(x, k[:, 1])
+        x, occ2 = GenerativeUp(
+            self.n2, self.caps.cand(4), self.caps.cap(2), self.caps.tile_cap(4)
+        )(x, k[:, 1], extract_occ)
         qf = UpsampleTo(2)(qf, x)
         nbr2 = self_kernel_map(x)
 
         # Stage 3: stride 2 -> 1.
         bg = QPredict(self.n2)(qf, nbr2)
         x = ScaledBlock(self.n2)(x, nbr2, bg)
-        x, occ1 = GenerativeUp(self.n3, self.caps.cand(2), self.caps.cap(1))(x, k[:, 2])
+        x, occ1 = GenerativeUp(
+            self.n3, self.caps.cand(2), self.caps.cap(1), self.caps.tile_cap(2)
+        )(x, k[:, 2], extract_occ)
         nbr1 = self_kernel_map(x)
 
         # Post conv: n3 -> n3 -> n3//2 -> c_out.

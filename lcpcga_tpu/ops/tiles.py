@@ -1,0 +1,315 @@
+"""Tiled-dense compute for generative upsampling.
+
+The candidate set of a generative 2x upsample is the union of fully
+dense 3^3 blocks around each parent (ops/sparse.expand_coords). Doing
+per-candidate gather convs on it costs ~2G random HBM accesses per conv
+— the measured bottleneck on TPU (~100M random gathers/s). This module
+instead rasterizes the candidate neighborhood into dense T^3 tiles and
+runs the convs as shifted dense einsums on the MXU:
+
+    parents -> active tiles -> embed parent feats at their cells
+    -> dense conv stack (halo via whole-tile row gathers from the 26
+       neighbors) -> masked occupancy top-k -> compact + re-sort to the
+       canonical sparse layout.
+
+Memory layout: tile features are stored FLAT as [B, Nt, T^3 * C].
+TPU tiling pads the minormost axis to 128 lanes; a [.., T,T,T, 64]
+layout wastes 2x HBM (observed OOM at vox10 scale), while T^3*C is
+always lane-aligned. The spatial form exists only inside per-chunk
+transients of the conv.
+
+Sparse-conv semantics are preserved exactly: unoccupied cells hold zero
+features (a missing neighbor contributes nothing), bias is added once
+at the output, outputs are masked to the candidate set.
+
+Replaces the reference's MinkowskiGenerativeConvolutionTranspose +
+conv/occupancy stack on candidate coordinates
+(/root/reference/model/blocks.py:78-181) with an MXU-shaped program.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from . import coords as C
+from .sparse import SparseTensor
+
+# Cells per axis per tile. T=4 measures ~0.4-0.5 candidate fill on vox10
+# surfaces (T=8 only ~0.25).
+TILE = 4
+CELLS = TILE**3
+# Tiles per chunk in the dense conv (2048 tiles x 64 cells = 131k einsum
+# rows per tap; halo transients stay ~100MB).
+CONV_TILE_CHUNK = 2048
+
+
+@struct.dataclass
+class TileGrid:
+    """Dense tile grid at a given cell stride (flat storage, see module
+    docstring).
+
+    keys:  [B, Nt] packed tile coordinates (sorted, INVALID padding).
+    count: [B] valid tiles.
+    mask:  [B, Nt, T^3] candidate-cell occupancy.
+    stride: voxel stride of a cell.
+    """
+
+    keys: jax.Array
+    count: jax.Array
+    mask: jax.Array
+    stride: int = struct.field(pytree_node=False, default=1)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.keys.shape[1]
+
+    @property
+    def valid(self) -> jax.Array:
+        return self.keys != C.INVALID_KEY
+
+
+def _flat_local(local: jax.Array) -> jax.Array:
+    return (local[..., 0] * TILE + local[..., 1]) * TILE + local[..., 2]
+
+
+def build_upsample_grid(
+    parents: SparseTensor, tile_capacity: int
+) -> Tuple[TileGrid, jax.Array]:
+    """Activate tiles for a 2x generative upsample and embed parents.
+
+    Returns (grid, parent_embedding [B, Nt, T^3 * Cin]): grid.mask marks
+    the 27 candidate children of every parent (clipped to the volume);
+    the embedding holds each parent's features at its own cell in the
+    child-stride grid.
+    """
+    t = parents.stride // 2
+    grid_span = C.COORD_RANGE // t
+    Cin = parents.num_channels
+    B, N = parents.keys.shape
+
+    pcell = parents.coords // t  # [B, N, 3] even cell coords
+    pvalid = parents.valid
+
+    lo = jnp.maximum(pcell - 1, 0) // TILE
+    hi = jnp.minimum(pcell + 1, grid_span - 1) // TILE
+
+    def tiles_item(lo_i, hi_i, valid_i):
+        cands = []
+        for sx in (0, 1):
+            for sy in (0, 1):
+                for sz in (0, 1):
+                    sel = jnp.stack(
+                        [
+                            jnp.where(sx, hi_i[:, 0], lo_i[:, 0]),
+                            jnp.where(sy, hi_i[:, 1], lo_i[:, 1]),
+                            jnp.where(sz, hi_i[:, 2], lo_i[:, 2]),
+                        ],
+                        axis=-1,
+                    )
+                    cands.append(C.pack_valid(sel, valid_i))
+        keys = jnp.sort(jnp.concatenate(cands))
+        keep = C.unique_mask_sorted(keys)
+        out_keys, _, count = C.compact_keys(keys, keep, tile_capacity)
+        return out_keys, count
+
+    tile_keys, tile_count = jax.vmap(tiles_item)(lo, hi, pvalid)
+
+    def embed(tile_keys_i, pcell_i, feats_i, valid_i):
+        trow = C.lookup(tile_keys_i, C.pack_valid(pcell_i // TILE, valid_i))
+        flat = trow * CELLS + _flat_local(pcell_i % TILE)
+        flat = jnp.where(valid_i & (trow < tile_capacity), flat, tile_capacity * CELLS)
+        dense = jnp.zeros((tile_capacity * CELLS, Cin), feats_i.dtype)
+        return dense.at[flat].set(feats_i, mode="drop")
+
+    emb = jax.vmap(embed)(tile_keys, pcell, parents.feats, pvalid)
+    emb = emb.reshape(B, tile_capacity, CELLS * Cin)
+
+    def mark(tile_keys_i, pcell_i, valid_i):
+        dense = jnp.zeros((tile_capacity * CELLS,), bool)
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    ch = pcell_i + jnp.array([dx, dy, dz], jnp.int32)
+                    ok = valid_i & jnp.all((ch >= 0) & (ch < grid_span), axis=-1)
+                    trow = C.lookup(tile_keys_i, C.pack_valid(ch // TILE, ok))
+                    flat = trow * CELLS + _flat_local(ch % TILE)
+                    flat = jnp.where(ok & (trow < tile_capacity), flat,
+                                     tile_capacity * CELLS)
+                    dense = dense.at[flat].set(True, mode="drop")
+        return dense
+
+    mask = jax.vmap(mark)(tile_keys, pcell, pvalid)
+    mask = mask.reshape(B, tile_capacity, CELLS)
+
+    grid = TileGrid(keys=tile_keys, count=tile_count, mask=mask, stride=t)
+    return grid, emb
+
+
+_DIRS = [
+    (dx, dy, dz)
+    for dx in (-1, 0, 1)
+    for dy in (-1, 0, 1)
+    for dz in (-1, 0, 1)
+    if (dx, dy, dz) != (0, 0, 0)
+]
+
+
+def neighbor_rows(grid_keys: jax.Array) -> jax.Array:
+    """[B, 26, Nt] neighbor tile row indices (Nt = miss)."""
+    coords = C.unpack(grid_keys)
+    valid = grid_keys != C.INVALID_KEY
+
+    def per_item(keys_i, coords_i, valid_i):
+        rows = []
+        for d in _DIRS:
+            q = coords_i + jnp.asarray(d, jnp.int32)
+            rows.append(C.lookup(keys_i, C.pack_valid(q, valid_i)))
+        return jnp.stack(rows)
+
+    return jax.vmap(per_item)(grid_keys, coords, valid)
+
+
+def _slab_slice(d: int) -> slice:
+    # Source slice in the NEIGHBOR tile for halo direction d: neighbor at
+    # +1 contributes its lowest plane, at -1 its highest.
+    if d == -1:
+        return slice(TILE - 1, TILE)
+    if d == 1:
+        return slice(0, 1)
+    return slice(0, TILE)
+
+
+def _halo_slice(d: int) -> slice:
+    if d == -1:
+        return slice(0, 1)
+    if d == 1:
+        return slice(TILE + 1, TILE + 2)
+    return slice(1, TILE + 1)
+
+
+def dense_conv(
+    feats: jax.Array,
+    nbr_rows: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    flip: bool = False,
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """3^3 dense conv across tiles with halo exchange.
+
+    feats: [B, Nt, T^3 * Cin] flat; nbr_rows: [B, 26, Nt];
+    kernel: [27, Cin, Cout] (tap order = ops.coords.conv_offsets(3, .));
+    flip reverses taps (transposed-conv weight convention).
+    Returns [B, Nt, T^3 * Cout] flat (unmasked; caller applies masks).
+    Chunked over tiles; core rows are contiguous dynamic slices, halo
+    slabs come from whole-tile row gathers of the 26 neighbors.
+    """
+    B, Nt, FC = feats.shape
+    Cin = kernel.shape[1]
+    Cout = kernel.shape[-1]
+    assert FC == CELLS * Cin, (FC, CELLS, Cin)
+    kern = (kernel[::-1] if flip else kernel).astype(compute_dtype)
+
+    x = feats.astype(compute_dtype)
+
+    chunk = min(CONV_TILE_CHUNK, Nt)
+    n_chunks = -(-Nt // chunk)
+    pad_tiles = n_chunks * chunk - Nt
+    xp = jnp.pad(x, ((0, 0), (0, pad_tiles), (0, 0)))
+    # Neighbor rows, padded tail rows point at the miss row Nt.
+    nbrp = jnp.pad(nbr_rows, ((0, 0), (0, 0), (0, pad_tiles)), constant_values=Nt)
+
+    def take_tiles(arr, rows):
+        # rows may be Nt (miss) -> clamp and zero.
+        safe = jnp.minimum(rows, Nt + pad_tiles - 1)
+        g = jax.vmap(lambda a, r: jnp.take(a, r, axis=0))(arr, safe)
+        return g * (rows < Nt)[..., None].astype(g.dtype)
+
+    def do_chunk(ci):
+        start = ci * chunk
+        core = jax.lax.dynamic_slice(xp, (0, start, 0), (B, chunk, FC))
+        core = core.reshape(B, chunk, TILE, TILE, TILE, Cin)
+        halo = jnp.zeros((B, chunk, TILE + 2, TILE + 2, TILE + 2, Cin), x.dtype)
+        halo = halo.at[:, :, 1:TILE + 1, 1:TILE + 1, 1:TILE + 1].set(core)
+        nbr_chunk = jax.lax.dynamic_slice(nbrp, (0, 0, start), (B, 26, chunk))
+        for di, d in enumerate(_DIRS):
+            tilesd = take_tiles(xp, nbr_chunk[:, di])  # [B, chunk, FC]
+            tilesd = tilesd.reshape(B, chunk, TILE, TILE, TILE, Cin)
+            slab = tilesd[:, :, _slab_slice(d[0]), _slab_slice(d[1]), _slab_slice(d[2])]
+            halo = halo.at[:, :, _halo_slice(d[0]), _halo_slice(d[1]), _halo_slice(d[2])].set(slab)
+        acc = jnp.zeros((B, chunk, TILE, TILE, TILE, Cout), jnp.float32)
+        ki = 0
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                for dz in (-1, 0, 1):
+                    sl = halo[:, :, 1 + dx:1 + dx + TILE, 1 + dy:1 + dy + TILE,
+                              1 + dz:1 + dz + TILE]
+                    acc = acc + jnp.einsum(
+                        "bnxyzi,io->bnxyzo", sl, kern[ki],
+                        preferred_element_type=jnp.float32,
+                    )
+                    ki += 1
+        return acc.reshape(B, chunk, CELLS * Cout)
+
+    chunks = jax.lax.map(do_chunk, jnp.arange(n_chunks))
+    out = jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
+    out = out.astype(feats.dtype)
+    if bias is not None:
+        out = out + jnp.tile(bias, CELLS).astype(out.dtype)
+    return out
+
+
+def apply_mask(grid: TileGrid, feats: jax.Array) -> jax.Array:
+    """Zero features outside the candidate mask. feats [B, Nt, T^3 * C]."""
+    B, Nt, FC = feats.shape
+    Cdim = FC // CELLS
+    m = (grid.mask & grid.valid[:, :, None])[..., None]
+    f = feats.reshape(B, Nt, CELLS, Cdim)
+    return jnp.where(m, f, 0).reshape(B, Nt, FC)
+
+
+def extract_sparse(
+    grid: TileGrid,
+    feats: jax.Array,
+    keep_mask: jax.Array,
+    capacity: int,
+    feats_dtype=jnp.float32,
+) -> SparseTensor:
+    """Compact kept cells into a canonical (key-sorted) SparseTensor.
+
+    feats [B, Nt, T^3 * C]; keep_mask [B, Nt, T^3]. Two stages:
+    cumsum-compact in dense order into ``capacity`` rows, then one sort
+    of the compacted rows (tile-major order is not global key order).
+    """
+    B, Nt = grid.keys.shape
+    Cdim = feats.shape[-1] // CELLS
+    t = grid.stride
+
+    tile_coords = C.unpack(grid.keys)
+    lx = jnp.arange(TILE, dtype=jnp.int32)
+    local = jnp.stack(jnp.meshgrid(lx, lx, lx, indexing="ij"), axis=-1).reshape(CELLS, 3)
+    cell = tile_coords[:, :, None, :] * TILE + local[None, None]  # [B,Nt,CELLS,3]
+    keys = C.pack(jnp.clip(cell * t, 0, C.COORD_RANGE - 1))
+    keys = jnp.where(keep_mask & grid.valid[:, :, None], keys, C.INVALID_KEY)
+
+    flat_keys = keys.reshape(B, -1)
+    flat_feats = feats.reshape(B, -1, Cdim)
+
+    def per_item(k_i, f_i):
+        keep = k_i != C.INVALID_KEY
+        dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        dest = jnp.where(keep, dest, capacity)
+        out_k = jnp.full((capacity,), C.INVALID_KEY, jnp.int32).at[dest].set(k_i, mode="drop")
+        out_f = jnp.zeros((capacity, Cdim), f_i.dtype).at[dest].set(f_i, mode="drop")
+        count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
+        order = jnp.argsort(out_k)
+        return out_k[order], out_f[order], count
+
+    out_keys, out_feats, count = jax.vmap(per_item)(flat_keys, flat_feats)
+    return SparseTensor(
+        keys=out_keys, feats=out_feats.astype(feats_dtype), count=count, stride=t
+    )

@@ -78,6 +78,7 @@ class Training:
         self.caps = Capacities(
             caps=(cap, cap, max(256, cap // 2), max(256, cap // 4),
                   max(256, cap // 8), max(256, cap // 8)),
+            tile_fraction=config.get("tile_fraction", 0.7),
         )
         self.loader = Loader(dataset, self.batch_size, capacity=cap,
                              seed=config.get("seed", 0))

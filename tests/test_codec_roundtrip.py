@@ -16,7 +16,7 @@ from lcpcga_tpu.models import Capacities, ColorModel
 
 @pytest.fixture(scope="module")
 def codec():
-    caps = Capacities(caps=(512, 512, 512, 384, 384, 384), cand_factor=27)
+    caps = Capacities(caps=(512, 512, 512, 384, 384, 384), cand_factor=27, tile_fraction=0.0)
     model = ColorModel(caps=caps, g_a_n1=16, g_a_n2=24, g_a_n3=24,
                        g_s_n1=24, g_s_n2=24, g_s_n3=16,
                        c_bottleneck=24, c_hyper=16)

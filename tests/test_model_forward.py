@@ -39,7 +39,7 @@ def tiny_batch(batch=2, n=160, seed=0, capacity=256):
 
 @pytest.fixture(scope="module")
 def setup():
-    caps = Capacities(caps=(256, 256, 256, 256, 256, 256), cand_factor=27)
+    caps = Capacities(caps=(256, 256, 256, 256, 256, 256), cand_factor=27, tile_fraction=0.0)
     model = ColorModel(caps=caps, g_a_n1=16, g_a_n2=24, g_a_n3=24,
                        g_s_n1=24, g_s_n2=24, g_s_n3=16,
                        c_bottleneck=24, c_hyper=16)

@@ -34,7 +34,7 @@ def make_batch(batch, capacity=256, n=150, seed=0):
 
 @pytest.fixture(scope="module")
 def setup():
-    caps = Capacities(caps=(256,) * 6, cand_factor=27)
+    caps = Capacities(caps=(256,) * 6, cand_factor=27, tile_fraction=0.0)
     model = ColorModel(caps=caps, g_a_n1=8, g_a_n2=16, g_a_n3=16,
                        g_s_n1=16, g_s_n2=16, g_s_n3=8,
                        c_bottleneck=16, c_hyper=8)

@@ -13,7 +13,7 @@ from lcpcga_tpu.training import Loss
 
 
 def test_separate_q_model_forward_and_loss():
-    caps = Capacities(caps=(256,) * 6, cand_factor=27)
+    caps = Capacities(caps=(256,) * 6, cand_factor=27, tile_fraction=0.0)
     cfg = {
         "entropy_model": {"C_bottleneck": 16, "C_hyper_bottleneck": 8},
         "entropy_model_map": {"C_bottleneck": 2, "C_hyper_bottleneck": 4},

@@ -1,0 +1,92 @@
+"""Tiled-dense generative upsampling must match the streamed gather path
+(same parameters, same candidate set, same top-k survivors)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from lcpcga_tpu import ops
+from lcpcga_tpu.models.layers import GenerativeUp
+from lcpcga_tpu.ops import tiles as TL
+from tests.test_sparse_ops import build_st, make_cloud
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    clouds = []
+    for b in range(2):
+        p, f = make_cloud(rng, 60 + 20 * b, lim=128, c=12, stride=4)
+        clouds.append((p, f))
+    st = build_st(clouds, capacity=128, stride=4)
+    k = jnp.asarray([150, 200], jnp.int32)
+    streamed = GenerativeUp(out_channels=8, cand_capacity=27 * 128,
+                            out_capacity=512, tile_capacity=0)
+    tiled = GenerativeUp(out_channels=8, cand_capacity=27 * 128,
+                         out_capacity=512, tile_capacity=512)
+    params = streamed.init(jax.random.PRNGKey(1), st, k)
+    return st, k, streamed, tiled, params
+
+
+def test_tiled_matches_streamed(setup):
+    st, k, streamed, tiled, params = setup
+    ps, occ_s = streamed.apply(params, st, k)
+    pt, occ_t = tiled.apply(params, st, k)
+
+    for b in range(2):
+        ns, nt = int(ps.count[b]), int(pt.count[b])
+        assert ns == nt == int(k[b])
+        np.testing.assert_array_equal(np.asarray(ps.keys[b, :ns]),
+                                      np.asarray(pt.keys[b, :nt]))
+        np.testing.assert_allclose(
+            np.asarray(ps.feats[b, :ns], np.float32),
+            np.asarray(pt.feats[b, :nt], np.float32),
+            rtol=0.1, atol=0.05,
+        )
+        # occupancy logits agree on the shared candidate set
+        n_occ_s, n_occ_t = int(occ_s.count[b]), int(occ_t.count[b])
+        assert n_occ_s == n_occ_t
+        np.testing.assert_array_equal(np.asarray(occ_s.keys[b, :n_occ_s]),
+                                      np.asarray(occ_t.keys[b, :n_occ_t]))
+        np.testing.assert_allclose(
+            np.asarray(occ_s.feats[b, :n_occ_s, 0]),
+            np.asarray(occ_t.feats[b, :n_occ_t, 0]),
+            rtol=0.1, atol=0.05,
+        )
+
+
+def test_tiled_extract_occ_false(setup):
+    st, k, _, tiled, params = setup
+    pruned, occ = tiled.apply(params, st, k, False)
+    assert occ is None
+    assert int(pruned.count[0]) == int(k[0])
+
+
+def test_dense_conv_matches_streamed_conv():
+    """ops-level check: dense tile conv == streamed sparse conv (f32)."""
+    rng = np.random.default_rng(1)
+    p, f = make_cloud(rng, 80, lim=64, c=6, stride=2)
+    st = build_st([(p, f)], capacity=128, stride=2)
+    # isolated random points share few tiles: worst case 8 tiles/parent
+    grid, emb = TL.build_upsample_grid(st, tile_capacity=1024)
+    nbr = TL.neighbor_rows(grid.keys)
+    W = jnp.asarray(rng.standard_normal((27, 6, 5)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(5).astype(np.float32))
+
+    out = TL.dense_conv(emb, nbr, W, b, flip=True, compute_dtype=jnp.float32)
+    out = TL.apply_mask(grid, out)
+    cell_mask = grid.mask & grid.valid[:, :, None]
+    got = TL.extract_sparse(grid, out, cell_mask, capacity=27 * 128)
+
+    from lcpcga_tpu.ops import coords as C
+    from lcpcga_tpu.ops.conv import sparse_conv_streamed
+
+    cand = ops.expand_coords(st, 27 * 128)
+    ref = sparse_conv_streamed(st, cand, -C.conv_offsets(3, 1), W, b,
+                               compute_dtype=jnp.float32)
+    n = int(cand.count[0])
+    assert int(got.count[0]) == n
+    np.testing.assert_array_equal(np.asarray(got.keys[0, :n]), np.asarray(cand.keys[0, :n]))
+    np.testing.assert_allclose(np.asarray(got.feats[0, :n]), np.asarray(ref[0, :n]),
+                               rtol=1e-4, atol=1e-5)

@@ -27,6 +27,7 @@ CFG = {
     "epochs": 2,
     "batch_size": 2,
     "capacity": 256,
+    "tile_fraction": 0.0,  # streamed conv path (fast on CPU)
     "model_learning_rate": 1e-4,
     "bottleneck_learning_rate": 1e-3,
     "scheduler_step_size": 50,
