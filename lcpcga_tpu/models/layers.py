@@ -160,7 +160,11 @@ class GenerativeUp(nn.Module):
             out = TL.apply_mask(grid, TL.dense_conv(f, nbr, kern, bias, flip=flip))
             return nn.relu(out) if relu else out
 
-        x = conv(emb.astype(jnp.bfloat16), p["transpose"], flip=True)
+        kt, bt = p["transpose"]
+        x = TL.apply_mask(
+            grid,
+            TL.transpose_dense_conv(emb.astype(jnp.bfloat16), nbr, kt, bt),
+        )
         h = conv(x, p["conv1"], relu=True)
         x = conv(h, p["conv2"])
         h = conv(x, p["occ1"], relu=True)

@@ -76,15 +76,27 @@ def _flat_local(local: jax.Array) -> jax.Array:
     return (local[..., 0] * TILE + local[..., 1]) * TILE + local[..., 2]
 
 
+# Parent cells per axis per tile: a tile spans TILE child cells
+# = TILE // 2 parent cells (parents live on the even child grid), so the
+# parent embedding shares the SAME tile keys / neighbor rows.
+PTILE = TILE // 2
+PCELLS = PTILE**3
+
+
+def _flat_plocal(local: jax.Array) -> jax.Array:
+    return (local[..., 0] * PTILE + local[..., 1]) * PTILE + local[..., 2]
+
+
 def build_upsample_grid(
     parents: SparseTensor, tile_capacity: int
 ) -> Tuple[TileGrid, jax.Array]:
     """Activate tiles for a 2x generative upsample and embed parents.
 
-    Returns (grid, parent_embedding [B, Nt, T^3 * Cin]): grid.mask marks
-    the 27 candidate children of every parent (clipped to the volume);
-    the embedding holds each parent's features at its own cell in the
-    child-stride grid.
+    Returns (grid, parent_embedding [B, Nt, PTILE^3 * Cin]): grid.mask
+    marks the 27 candidate children of every parent (clipped to the
+    volume); the embedding holds each parent's features at its cell of
+    the PARENT-resolution grid over the same tiles (embedding at child
+    resolution would be ~97% zeros — 14GB at vox10 scale).
     """
     t = parents.stride // 2
     grid_span = C.COORD_RANGE // t
@@ -119,14 +131,16 @@ def build_upsample_grid(
     tile_keys, tile_count = jax.vmap(tiles_item)(lo, hi, pvalid)
 
     def embed(tile_keys_i, pcell_i, feats_i, valid_i):
+        # Parent cell in parent-resolution units within its tile.
+        pc2 = pcell_i // 2
         trow = C.lookup(tile_keys_i, C.pack_valid(pcell_i // TILE, valid_i))
-        flat = trow * CELLS + _flat_local(pcell_i % TILE)
-        flat = jnp.where(valid_i & (trow < tile_capacity), flat, tile_capacity * CELLS)
-        dense = jnp.zeros((tile_capacity * CELLS, Cin), feats_i.dtype)
+        flat = trow * PCELLS + _flat_plocal(pc2 % PTILE)
+        flat = jnp.where(valid_i & (trow < tile_capacity), flat, tile_capacity * PCELLS)
+        dense = jnp.zeros((tile_capacity * PCELLS, Cin), feats_i.dtype)
         return dense.at[flat].set(feats_i, mode="drop")
 
     emb = jax.vmap(embed)(tile_keys, pcell, parents.feats, pvalid)
-    emb = emb.reshape(B, tile_capacity, CELLS * Cin)
+    emb = emb.reshape(B, tile_capacity, PCELLS * Cin)
 
     def mark(tile_keys_i, pcell_i, valid_i):
         dense = jnp.zeros((tile_capacity * CELLS,), bool)
@@ -173,22 +187,106 @@ def neighbor_rows(grid_keys: jax.Array) -> jax.Array:
     return jax.vmap(per_item)(grid_keys, coords, valid)
 
 
-def _slab_slice(d: int) -> slice:
+def _slab_slice(d: int, size: int = TILE) -> slice:
     # Source slice in the NEIGHBOR tile for halo direction d: neighbor at
     # +1 contributes its lowest plane, at -1 its highest.
     if d == -1:
-        return slice(TILE - 1, TILE)
+        return slice(size - 1, size)
     if d == 1:
         return slice(0, 1)
-    return slice(0, TILE)
+    return slice(0, size)
 
 
-def _halo_slice(d: int) -> slice:
+def _halo_slice(d: int, size: int = TILE) -> slice:
     if d == -1:
         return slice(0, 1)
     if d == 1:
-        return slice(TILE + 1, TILE + 2)
-    return slice(1, TILE + 1)
+        return slice(size + 1, size + 2)
+    return slice(1, size + 1)
+
+
+def _build_halo(xp, nbrp, start, chunk, size, cin, B, Nt, pad_tiles):
+    """Assemble a haloed [B, chunk, size+2, size+2, size+2, Cin] block
+    from flat [B, Nt+pad, size^3 * Cin] tile storage."""
+    fc = size**3 * cin
+
+    def take_tiles(rows):
+        safe = jnp.minimum(rows, Nt + pad_tiles - 1)
+        g = jax.vmap(lambda a, r: jnp.take(a, r, axis=0))(xp, safe)
+        return g * (rows < Nt)[..., None].astype(g.dtype)
+
+    core = jax.lax.dynamic_slice(xp, (0, start, 0), (B, chunk, fc))
+    core = core.reshape(B, chunk, size, size, size, cin)
+    halo = jnp.zeros((B, chunk, size + 2, size + 2, size + 2, cin), xp.dtype)
+    halo = halo.at[:, :, 1:size + 1, 1:size + 1, 1:size + 1].set(core)
+    nbr_chunk = jax.lax.dynamic_slice(nbrp, (0, 0, start), (B, 26, chunk))
+    for di, d in enumerate(_DIRS):
+        tilesd = take_tiles(nbr_chunk[:, di]).reshape(B, chunk, size, size, size, cin)
+        slab = tilesd[:, :, _slab_slice(d[0], size), _slab_slice(d[1], size),
+                      _slab_slice(d[2], size)]
+        halo = halo.at[:, :, _halo_slice(d[0], size), _halo_slice(d[1], size),
+                       _halo_slice(d[2], size)].set(slab)
+    return halo
+
+
+def transpose_dense_conv(
+    pfeats: jax.Array,
+    nbr_rows: jax.Array,
+    kernel: jax.Array,
+    bias: Optional[jax.Array],
+    compute_dtype=jnp.bfloat16,
+) -> jax.Array:
+    """Generative transposed conv: parent-resolution grid -> child grid.
+
+    pfeats: [B, Nt, PTILE^3 * Cin] (parents on the even child grid);
+    kernel: [27, Cin, Cout], tap k multiplies in[o - off_k]
+    (off = ops.coords.conv_offsets order — the transpose convention of
+    ops/sparse.transpose_map). Each tap routes to a fixed child-parity
+    slot with a fixed parent shift, so the op is 27 dense einsums over
+    the haloed parent block. Returns child grid [B, Nt, TILE^3 * Cout].
+    """
+    B, Nt, FC = pfeats.shape
+    Cin = kernel.shape[1]
+    Cout = kernel.shape[-1]
+    assert FC == PCELLS * Cin, (FC, PCELLS, Cin)
+    kern = kernel.astype(compute_dtype)
+
+    x = pfeats.astype(compute_dtype)
+    chunk = min(CONV_TILE_CHUNK, Nt)
+    n_chunks = -(-Nt // chunk)
+    pad_tiles = n_chunks * chunk - Nt
+    xp = jnp.pad(x, ((0, 0), (0, pad_tiles), (0, 0)))
+    nbrp = jnp.pad(nbr_rows, ((0, 0), (0, 0), (0, pad_tiles)), constant_values=Nt)
+
+    def do_chunk(ci):
+        start = ci * chunk
+        halo = _build_halo(xp, nbrp, start, chunk, PTILE, Cin, B, Nt, pad_tiles)
+        child = jnp.zeros((B, chunk, TILE, TILE, TILE, Cout), jnp.float32)
+        ki = 0
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                for oz in (-1, 0, 1):
+                    # child parity slot this tap feeds, and the parent
+                    # shift it reads: o - off even per axis.
+                    p = (abs(ox) & 1, abs(oy) & 1, abs(oz) & 1)
+                    s = ((p[0] - ox) // 2, (p[1] - oy) // 2, (p[2] - oz) // 2)
+                    sl = halo[:, :, 1 + s[0]:1 + s[0] + PTILE,
+                              1 + s[1]:1 + s[1] + PTILE,
+                              1 + s[2]:1 + s[2] + PTILE]
+                    term = jnp.einsum(
+                        "bnxyzi,io->bnxyzo", sl, kern[ki],
+                        preferred_element_type=jnp.float32,
+                    )
+                    child = child.at[:, :, p[0]::2, p[1]::2, p[2]::2].add(term)
+                    ki += 1
+        return child.reshape(B, chunk, CELLS * Cout)
+
+    chunks = jax.lax.map(do_chunk, jnp.arange(n_chunks))
+    out = jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
+    out = out.astype(pfeats.dtype)
+    if bias is not None:
+        out = out + jnp.tile(bias, CELLS).astype(out.dtype)
+    return out
 
 
 def dense_conv(
@@ -223,24 +321,9 @@ def dense_conv(
     # Neighbor rows, padded tail rows point at the miss row Nt.
     nbrp = jnp.pad(nbr_rows, ((0, 0), (0, 0), (0, pad_tiles)), constant_values=Nt)
 
-    def take_tiles(arr, rows):
-        # rows may be Nt (miss) -> clamp and zero.
-        safe = jnp.minimum(rows, Nt + pad_tiles - 1)
-        g = jax.vmap(lambda a, r: jnp.take(a, r, axis=0))(arr, safe)
-        return g * (rows < Nt)[..., None].astype(g.dtype)
-
     def do_chunk(ci):
         start = ci * chunk
-        core = jax.lax.dynamic_slice(xp, (0, start, 0), (B, chunk, FC))
-        core = core.reshape(B, chunk, TILE, TILE, TILE, Cin)
-        halo = jnp.zeros((B, chunk, TILE + 2, TILE + 2, TILE + 2, Cin), x.dtype)
-        halo = halo.at[:, :, 1:TILE + 1, 1:TILE + 1, 1:TILE + 1].set(core)
-        nbr_chunk = jax.lax.dynamic_slice(nbrp, (0, 0, start), (B, 26, chunk))
-        for di, d in enumerate(_DIRS):
-            tilesd = take_tiles(xp, nbr_chunk[:, di])  # [B, chunk, FC]
-            tilesd = tilesd.reshape(B, chunk, TILE, TILE, TILE, Cin)
-            slab = tilesd[:, :, _slab_slice(d[0]), _slab_slice(d[1]), _slab_slice(d[2])]
-            halo = halo.at[:, :, _halo_slice(d[0]), _halo_slice(d[1]), _halo_slice(d[2])].set(slab)
+        halo = _build_halo(xp, nbrp, start, chunk, TILE, Cin, B, Nt, pad_tiles)
         acc = jnp.zeros((B, chunk, TILE, TILE, TILE, Cout), jnp.float32)
         ki = 0
         for dx in (-1, 0, 1):

@@ -74,7 +74,7 @@ def test_dense_conv_matches_streamed_conv():
     W = jnp.asarray(rng.standard_normal((27, 6, 5)).astype(np.float32) * 0.1)
     b = jnp.asarray(rng.standard_normal(5).astype(np.float32))
 
-    out = TL.dense_conv(emb, nbr, W, b, flip=True, compute_dtype=jnp.float32)
+    out = TL.transpose_dense_conv(emb, nbr, W, b, compute_dtype=jnp.float32)
     out = TL.apply_mask(grid, out)
     cell_mask = grid.mask & grid.valid[:, :, None]
     got = TL.extract_sparse(grid, out, cell_mask, capacity=27 * 128)
