@@ -155,15 +155,13 @@ class GenerativeUp(nn.Module):
         nbr = TL.neighbor_rows(grid.keys)
         cell_mask = grid.mask & grid.valid[:, :, None]  # [B, Nt, T^3]
 
-        def conv(f, kern_bias, flip=False, relu=False):
+        def conv(f, kern_bias, relu=False):
             kern, bias = kern_bias
-            out = TL.apply_mask(grid, TL.dense_conv(f, nbr, kern, bias, flip=flip))
-            return nn.relu(out) if relu else out
+            return TL.dense_conv(f, nbr, kern, bias, mask=cell_mask, relu=relu)
 
         kt, bt = p["transpose"]
-        x = TL.apply_mask(
-            grid,
-            TL.transpose_dense_conv(emb.astype(jnp.bfloat16), nbr, kt, bt),
+        x = TL.transpose_dense_conv(
+            emb.astype(jnp.bfloat16), nbr, kt, bt, mask=cell_mask
         )
         h = conv(x, p["conv1"], relu=True)
         x = conv(h, p["conv2"])

@@ -56,7 +56,7 @@ class Capacities:
     cand_factor: int = 18
     # Tiled-dense generative upsampling (ops/tiles). 0 disables (the
     # streamed gather path is then used — slower, reference semantics).
-    tile_fraction: float = 0.7
+    tile_fraction: float = 0.62
 
     def cap(self, stride: int) -> int:
         return self.caps[stride.bit_length() - 1]

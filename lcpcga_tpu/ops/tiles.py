@@ -235,6 +235,7 @@ def transpose_dense_conv(
     kernel: jax.Array,
     bias: Optional[jax.Array],
     compute_dtype=jnp.bfloat16,
+    mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Generative transposed conv: parent-resolution grid -> child grid.
 
@@ -257,6 +258,9 @@ def transpose_dense_conv(
     pad_tiles = n_chunks * chunk - Nt
     xp = jnp.pad(x, ((0, 0), (0, pad_tiles), (0, 0)))
     nbrp = jnp.pad(nbr_rows, ((0, 0), (0, 0), (0, pad_tiles)), constant_values=Nt)
+    maskp = None
+    if mask is not None:
+        maskp = jnp.pad(mask, ((0, 0), (0, pad_tiles), (0, 0)))
 
     def do_chunk(ci):
         start = ci * chunk
@@ -279,14 +283,16 @@ def transpose_dense_conv(
                     )
                     child = child.at[:, :, p[0]::2, p[1]::2, p[2]::2].add(term)
                     ki += 1
-        return child.reshape(B, chunk, CELLS * Cout)
+        out = child.reshape(B, chunk, CELLS, Cout)
+        if bias is not None:
+            out = out + bias
+        if maskp is not None:
+            m = jax.lax.dynamic_slice(maskp, (0, start, 0), (B, chunk, CELLS))
+            out = out * m.astype(out.dtype)[..., None]
+        return out.astype(pfeats.dtype).reshape(B, chunk, CELLS * Cout)
 
     chunks = jax.lax.map(do_chunk, jnp.arange(n_chunks))
-    out = jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
-    out = out.astype(pfeats.dtype)
-    if bias is not None:
-        out = out + jnp.tile(bias, CELLS).astype(out.dtype)
-    return out
+    return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
 
 
 def dense_conv(
@@ -296,6 +302,8 @@ def dense_conv(
     bias: Optional[jax.Array],
     flip: bool = False,
     compute_dtype=jnp.bfloat16,
+    mask: Optional[jax.Array] = None,
+    relu: bool = False,
 ) -> jax.Array:
     """3^3 dense conv across tiles with halo exchange.
 
@@ -321,6 +329,10 @@ def dense_conv(
     # Neighbor rows, padded tail rows point at the miss row Nt.
     nbrp = jnp.pad(nbr_rows, ((0, 0), (0, 0), (0, pad_tiles)), constant_values=Nt)
 
+    maskp = None
+    if mask is not None:
+        maskp = jnp.pad(mask, ((0, 0), (0, pad_tiles), (0, 0)))
+
     def do_chunk(ci):
         start = ci * chunk
         halo = _build_halo(xp, nbrp, start, chunk, TILE, Cin, B, Nt, pad_tiles)
@@ -336,23 +348,31 @@ def dense_conv(
                         preferred_element_type=jnp.float32,
                     )
                     ki += 1
-        return acc.reshape(B, chunk, CELLS * Cout)
+        out = acc.reshape(B, chunk, CELLS, Cout)
+        if bias is not None:
+            out = out + bias
+        if maskp is not None:
+            m = jax.lax.dynamic_slice(maskp, (0, start, 0), (B, chunk, CELLS))
+            out = out * m.astype(out.dtype)[..., None]
+        if relu:
+            out = jnp.maximum(out, 0)
+        return out.astype(feats.dtype).reshape(B, chunk, CELLS * Cout)
 
     chunks = jax.lax.map(do_chunk, jnp.arange(n_chunks))
-    out = jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
-    out = out.astype(feats.dtype)
-    if bias is not None:
-        out = out + jnp.tile(bias, CELLS).astype(out.dtype)
-    return out
+    return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
 
 
 def apply_mask(grid: TileGrid, feats: jax.Array) -> jax.Array:
-    """Zero features outside the candidate mask. feats [B, Nt, T^3 * C]."""
+    """Zero features outside the candidate mask. feats [B, Nt, T^3 * C].
+
+    Multiply (not where) so XLA broadcasts a [Nt, T^3, 1] scalar mask
+    instead of materializing a full-width padded pred array (observed
+    1.75GB at vox10 scale)."""
     B, Nt, FC = feats.shape
     Cdim = FC // CELLS
-    m = (grid.mask & grid.valid[:, :, None])[..., None]
+    m = (grid.mask & grid.valid[:, :, None]).astype(feats.dtype)[..., None]
     f = feats.reshape(B, Nt, CELLS, Cdim)
-    return jnp.where(m, f, 0).reshape(B, Nt, FC)
+    return (f * m).reshape(B, Nt, FC)
 
 
 def extract_sparse(
