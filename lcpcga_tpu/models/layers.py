@@ -52,25 +52,88 @@ class ConvReluConv(nn.Module):
         return SparseConv(self.out_channels)(x, x, nbr)
 
 
+class ConvChain(nn.Module):
+    """Stack of 3^3 convs over one coordinate set, with two execution
+    paths over SHARED parameters:
+
+      * sparse: gather-GEMM over a materialized kernel map (CPU/tests,
+        small coordinate sets);
+      * grid:   dense tiled einsums (ops/tiles.dense_conv) — the TPU
+        path; per-row gathers measure ~100M/s and dominate runtime at
+        vox10 scale.
+    """
+
+    c_in: int
+    channels: Tuple[int, ...]
+    relus: Tuple[bool, ...]
+
+    def setup(self):
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
+        cin = self.c_in
+        kernels, biases = [], []
+        for i, co in enumerate(self.channels):
+            kernels.append(self.param(f"k{i}", init, (27, cin, co), jnp.float32))
+            biases.append(self.param(f"k{i}_bias", nn.initializers.zeros, (co,), jnp.float32))
+            cin = co
+        self.kernels = kernels
+        self.biases = biases
+
+    def __call__(self, st: SparseTensor, nbr: jax.Array) -> SparseTensor:
+        from ..ops.conv import sparse_conv_apply
+
+        feats = st.feats
+        for k_, b_, r in zip(self.kernels, self.biases, self.relus):
+            feats = sparse_conv_apply(feats, nbr, k_, b_, st.valid)
+            if r:
+                feats = nn.relu(feats)
+        return st.with_feats(feats)
+
+    def grid(self, feats: jax.Array, nbr_rows: jax.Array, mask: jax.Array) -> jax.Array:
+        from ..ops import tiles as TL
+
+        for k_, b_, r in zip(self.kernels, self.biases, self.relus):
+            feats = TL.dense_conv(feats, nbr_rows, k_, b_, mask=mask, relu=r)
+        return feats
+
+
 class ScaledBlock(nn.Module):
     """FiLM residual block (/root/reference/model/blocks.py:10-53).
 
     x -> conv pair -> per-point (F * beta + gamma) -> conv pair (+ ReLU)
-    -> + residual. ``beta_gamma`` is row-aligned with ``st`` (same
-    coordinate set, canonical order): feats [B, N, 2C].
+    -> + residual. ``beta_gamma`` is row-aligned with x (same coordinate
+    set, canonical order). Dual sparse/grid paths (see ConvChain).
     """
 
     channels: int
 
-    @nn.compact
+    def setup(self):
+        c = self.channels
+        self.conv1 = ConvChain(c_in=c, channels=(c, c), relus=(True, False))
+        self.conv2 = ConvChain(c_in=c, channels=(c, c), relus=(True, True))
+
     def __call__(self, st: SparseTensor, nbr: jax.Array, beta_gamma: jax.Array) -> SparseTensor:
         residual = st.feats
-        x = ConvReluConv(self.channels, self.channels)(st, nbr)
+        x = self.conv1(st, nbr)
         beta, gamma = jnp.split(beta_gamma, 2, axis=-1)
         x = x.with_feats(x.feats * beta + gamma)
-        x = ConvReluConv(self.channels, self.channels)(x, nbr)
-        x = x.with_feats(nn.relu(x.feats))
+        x = self.conv2(x, nbr)
         return x.with_feats(x.feats + residual)
+
+    def grid(self, feats: jax.Array, nbr_rows: jax.Array, mask: jax.Array,
+             beta_gamma: jax.Array) -> jax.Array:
+        from ..ops.tiles import CELLS
+
+        residual = feats
+        x = self.conv1.grid(feats, nbr_rows, mask)
+        B, Nt, _ = x.shape
+        c = self.channels
+        xs = x.reshape(B, Nt, CELLS, c)
+        bg = beta_gamma.reshape(B, Nt, CELLS, 2 * c)
+        beta, gamma = jnp.split(bg, 2, axis=-1)
+        m = mask[..., None].astype(xs.dtype)
+        xs = (xs * beta + gamma) * m  # re-mask: gamma adds at empty cells
+        x = self.conv2.grid(xs.reshape(B, Nt, CELLS * c), nbr_rows, mask)
+        return x + residual
 
 
 class GenerativeUp(nn.Module):
@@ -113,18 +176,27 @@ class GenerativeUp(nn.Module):
             "conv2": pk("conv2", co, co),
             "occ1": pk("occ1", co, co),
             "occ2": pk("occ2", co, 1),
+            # Q-branch transposed conv: evaluates the 2-channel quality
+            # map at the surviving coordinates (the reference's q_up_*
+            # GenerativeUpBlocks in non-predicting mode,
+            # /root/reference/model/transforms.py:209-211,276-290).
+            "q_up": pk("q_up", 2, 2),
         }
 
     @nn.compact
     def __call__(
-        self, st: SparseTensor, k: jax.Array, extract_occ: bool = True
+        self,
+        st: SparseTensor,
+        k: jax.Array,
+        extract_occ: bool = True,
+        q: Optional[SparseTensor] = None,
     ):
         p = self._params(st.num_channels)
         if self.tile_capacity > 0:
-            return self._tiled(st, k, p, extract_occ)
-        return self._streamed(st, k, p, extract_occ)
+            return self._tiled(st, k, p, extract_occ, q)
+        return self._streamed(st, k, p, extract_occ, q)
 
-    def _streamed(self, st, k, p, extract_occ):
+    def _streamed(self, st, k, p, extract_occ, q):
         from ..ops.conv import sparse_conv_streamed
         from ..ops import coords as Cc
 
@@ -145,15 +217,35 @@ class GenerativeUp(nn.Module):
         keep = topk_mask(cand, occ.feats[..., 0], k)
         pruned = prune(x, keep, self.out_capacity)
         pruned = pruned.with_feats(pruned.feats.astype(in_dtype))
-        return pruned, (occ if extract_occ else None)
+        q_out = None
+        if q is not None:
+            qf = sparse_conv_streamed(q, pruned, offs_t, *p["q_up"],
+                                      compute_dtype=jnp.float32)
+            q_out = pruned.with_feats(qf)
+        return pruned, (occ if extract_occ else None), q_out
 
-    def _tiled(self, st, k, p, extract_occ):
+    def _tiled(self, st, k, p, extract_occ, q):
         from ..ops import tiles as TL
 
         in_dtype = st.feats.dtype
-        grid, emb = TL.build_upsample_grid(st, self.tile_capacity)
+        cin = st.num_channels
+        co = self.out_channels
+
+        # Embed parents (and the row-aligned quality map) together.
+        src = st if q is None else st.with_feats(
+            jnp.concatenate([st.feats, q.feats.astype(st.feats.dtype)], axis=-1)
+        )
+        grid, emb = TL.build_upsample_grid(src, self.tile_capacity)
         nbr = TL.neighbor_rows(grid.keys)
         cell_mask = grid.mask & grid.valid[:, :, None]  # [B, Nt, T^3]
+        B, Nt = grid.keys.shape
+
+        if q is not None:
+            embs = emb.reshape(B, Nt, TL.PCELLS, cin + 2)
+            emb_x = embs[..., :cin].reshape(B, Nt, TL.PCELLS * cin)
+            emb_q = embs[..., cin:].reshape(B, Nt, TL.PCELLS * 2)
+        else:
+            emb_x, emb_q = emb, None
 
         def conv(f, kern_bias, relu=False):
             kern, bias = kern_bias
@@ -161,7 +253,7 @@ class GenerativeUp(nn.Module):
 
         kt, bt = p["transpose"]
         x = TL.transpose_dense_conv(
-            emb.astype(jnp.bfloat16), nbr, kt, bt, mask=cell_mask
+            emb_x.astype(jnp.bfloat16), nbr, kt, bt, mask=cell_mask
         )
         h = conv(x, p["conv1"], relu=True)
         x = conv(h, p["conv2"])
@@ -169,20 +261,34 @@ class GenerativeUp(nn.Module):
         occ = conv(h, p["occ2"]).astype(jnp.float32)  # [B, Nt, T^3] (Cout=1)
 
         # Per-item top-k over masked dense logits.
-        B = grid.keys.shape[0]
         logits = jnp.where(cell_mask, occ, -jnp.inf).reshape(B, -1)
         order = jnp.argsort(-logits, axis=-1, stable=True)
         rank = jnp.argsort(order, axis=-1)
         keep = (rank < k[:, None]).reshape(cell_mask.shape) & cell_mask
 
-        pruned = TL.extract_sparse(grid, x, keep, self.out_capacity,
-                                   feats_dtype=in_dtype)
+        if q is not None:
+            kq, bq = p["q_up"]
+            q_child = TL.transpose_dense_conv(emb_q, nbr, kq, bq, mask=cell_mask,
+                                              compute_dtype=jnp.float32)
+            both = jnp.concatenate(
+                [x.reshape(B, Nt, TL.CELLS, co),
+                 q_child.reshape(B, Nt, TL.CELLS, 2).astype(x.dtype)],
+                axis=-1,
+            ).reshape(B, Nt, TL.CELLS * (co + 2))
+            ext = TL.extract_sparse(grid, both, keep, self.out_capacity,
+                                    feats_dtype=jnp.float32)
+            pruned = ext.with_feats(ext.feats[..., :co].astype(in_dtype))
+            q_out = ext.with_feats(ext.feats[..., co:].astype(jnp.float32))
+        else:
+            pruned = TL.extract_sparse(grid, x, keep, self.out_capacity,
+                                       feats_dtype=in_dtype)
+            q_out = None
         occ_sparse = (
             TL.extract_sparse(grid, occ, cell_mask, self.cand_capacity)
             if extract_occ
             else None
         )
-        return pruned, occ_sparse
+        return pruned, occ_sparse, q_out
 
 
 class UpsampleTo(nn.Module):
@@ -253,15 +359,17 @@ class ConditionEncoder(nn.Module):
 class QPredict(nn.Module):
     """Decoder-side FiLM head from the 2-channel quality map
     (/root/reference/model/transforms.py:214-234): conv3 -> ReLU ->
-    conv3 -> ReLU -> conv3 producing [B, N, 2*channels]."""
+    conv3 -> ReLU -> conv3 producing 2*channels. Dual sparse/grid."""
 
     channels: int
 
-    @nn.compact
+    def setup(self):
+        c = self.channels
+        self.chain = ConvChain(c_in=2, channels=(c, c, 2 * c),
+                               relus=(True, True, False))
+
     def __call__(self, q: SparseTensor, nbr: jax.Array) -> jax.Array:
-        h = SparseConv(self.channels)(q, q, nbr)
-        h = h.with_feats(nn.relu(h.feats))
-        h = SparseConv(self.channels)(h, h, nbr)
-        h = h.with_feats(nn.relu(h.feats))
-        h = SparseConv(2 * self.channels)(h, h, nbr)
-        return h.feats
+        return self.chain(q, nbr).feats
+
+    def grid(self, qfeats: jax.Array, nbr_rows: jax.Array, mask: jax.Array) -> jax.Array:
+        return self.chain.grid(qfeats, nbr_rows, mask)

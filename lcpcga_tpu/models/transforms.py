@@ -35,6 +35,7 @@ from ..ops import (
 )
 from .layers import (
     ConditionEncoder,
+    ConvChain,
     ConvReluConv,
     GenerativeUp,
     QPredict,
@@ -75,6 +76,15 @@ class Capacities:
         from ..ops import round_up
 
         return max(256, round_up(int(self.tile_fraction * self.cap(stride_in))))
+
+    def same_tile_cap(self, stride: int) -> int:
+        """Tile capacity for same-stride dense conv stacks (measured:
+        <= 0.26 tiles per occupied cell at T=4 on vox10 surfaces)."""
+        if self.tile_fraction <= 0:
+            return 0
+        from ..ops import round_up
+
+        return max(256, round_up(int(0.35 * self.cap(stride))))
 
     @classmethod
     def for_cloud(cls, coords, margin: float = 1.3) -> "Capacities":
@@ -201,6 +211,42 @@ class SparseSynthesisTransform(nn.Module):
     source_condition: bool = True
     condition_ablation: bool = False
 
+    def _level_stack(self, x: SparseTensor, qf: SparseTensor,
+                     qp, sb) -> SparseTensor:
+        """QPredict -> FiLM ScaledBlock at one stride level.
+
+        Tiled mode rasterizes once (extraction preserves the coordinate
+        set, so rows stay aligned with qf); sparse mode builds one
+        kernel map.
+        """
+        from ..ops import tiles as TL
+
+        tile_cap = self.caps.same_tile_cap(x.stride)
+        if tile_cap <= 0:
+            nbr = self_kernel_map(x)
+            bg = qp(qf, nbr)
+            return sb(x, nbr, bg)
+
+        cat = x.with_feats(
+            jnp.concatenate(
+                [x.feats, qf.feats.astype(x.feats.dtype)], axis=-1
+            )
+        )
+        grid, feats = TL.rasterize(cat, tile_cap)
+        nbr_rows = TL.neighbor_rows(grid.keys)
+        mask = grid.mask & grid.valid[:, :, None]
+        B, Nt = grid.keys.shape
+        c = x.num_channels
+        fs = feats.reshape(B, Nt, TL.CELLS, c + 2).astype(jnp.bfloat16)
+        xg = fs[..., :c].reshape(B, Nt, TL.CELLS * c)
+        qg = fs[..., c:].reshape(B, Nt, TL.CELLS * 2)
+        bg = qp.grid(qg, nbr_rows, mask)
+        xg = sb.grid(xg, nbr_rows, mask, bg)
+        ext = TL.extract_sparse(grid, xg, mask, x.capacity,
+                                feats_dtype=x.feats.dtype)
+        # Same coordinate set in canonical order -> rows align with x.
+        return x.with_feats(ext.feats)
+
     @nn.compact
     def __call__(
         self,
@@ -209,6 +255,8 @@ class SparseSynthesisTransform(nn.Module):
         k: jax.Array,
         gt: Optional[SparseTensor] = None,
     ):
+        from ..ops import tiles as TL
+
         nbr8 = self_kernel_map(y)
 
         if self.source_condition:
@@ -228,38 +276,39 @@ class SparseSynthesisTransform(nn.Module):
 
         extract_occ = gt is not None
 
-        # Stage 1: stride 8 -> 4.
+        # Stage 1: stride 8 -> 4 (stride-8 stack is small; sparse path).
         bg = QPredict(self.n1)(qf, nbr8)
         x = ScaledBlock(self.n1)(x, nbr8, bg)
-        x, occ4 = GenerativeUp(
+        x, occ4, qf = GenerativeUp(
             self.n1, self.caps.cand(8), self.caps.cap(4), self.caps.tile_cap(8)
-        )(x, k[:, 0], extract_occ)
-        qf = UpsampleTo(2)(qf, x)
-        nbr4 = self_kernel_map(x)
+        )(x, k[:, 0], extract_occ, qf)
 
         # Stage 2: stride 4 -> 2.
-        bg = QPredict(self.n1)(qf, nbr4)
-        x = ScaledBlock(self.n1)(x, nbr4, bg)
-        x, occ2 = GenerativeUp(
+        x = self._level_stack(x, qf, QPredict(self.n1), ScaledBlock(self.n1))
+        x, occ2, qf = GenerativeUp(
             self.n2, self.caps.cand(4), self.caps.cap(2), self.caps.tile_cap(4)
-        )(x, k[:, 1], extract_occ)
-        qf = UpsampleTo(2)(qf, x)
-        nbr2 = self_kernel_map(x)
+        )(x, k[:, 1], extract_occ, qf)
 
         # Stage 3: stride 2 -> 1.
-        bg = QPredict(self.n2)(qf, nbr2)
-        x = ScaledBlock(self.n2)(x, nbr2, bg)
-        x, occ1 = GenerativeUp(
+        x = self._level_stack(x, qf, QPredict(self.n2), ScaledBlock(self.n2))
+        x, occ1, _ = GenerativeUp(
             self.n3, self.caps.cand(2), self.caps.cap(1), self.caps.tile_cap(2)
         )(x, k[:, 2], extract_occ)
-        nbr1 = self_kernel_map(x)
 
         # Post conv: n3 -> n3 -> n3//2 -> c_out.
-        x = SparseConv(self.n3)(x, x, nbr1)
-        x = x.with_feats(nn.relu(x.feats))
-        x = SparseConv(self.n3 // 2)(x, x, nbr1)
-        x = x.with_feats(nn.relu(x.feats))
-        x = SparseConv(self.c_out)(x, x, nbr1)
+        post = ConvChain(c_in=self.n3, channels=(self.n3, self.n3 // 2, self.c_out),
+                         relus=(True, True, False))
+        tile1 = self.caps.same_tile_cap(1)
+        if tile1 > 0:
+            grid, feats = TL.rasterize(x, tile1)
+            nbr_rows = TL.neighbor_rows(grid.keys)
+            mask = grid.mask & grid.valid[:, :, None]
+            out = post.grid(feats.astype(jnp.bfloat16), nbr_rows, mask)
+            ext = TL.extract_sparse(grid, out, mask, x.capacity)
+            x = x.with_feats(ext.feats)
+        else:
+            nbr1 = self_kernel_map(x)
+            x = post(x, nbr1)
 
         if gt is None:
             return x

@@ -163,6 +163,45 @@ def build_upsample_grid(
     return grid, emb
 
 
+def rasterize(st: SparseTensor, tile_capacity: int) -> Tuple[TileGrid, jax.Array]:
+    """Rasterize a sparse tensor into dense tiles at its own stride.
+
+    Returns (grid with occupancy mask, feats [B, Nt, T^3 * C]). Used to
+    run same-coordinate conv stacks (FiLM blocks, Q heads, post-convs)
+    as dense einsums instead of per-row gathers.
+    """
+    Cdim = st.num_channels
+    B, N = st.keys.shape
+    cell = st.coords // st.stride
+    valid = st.valid
+
+    def tiles_item(cell_i, valid_i):
+        keys = jnp.sort(C.pack_valid(cell_i // TILE, valid_i))
+        keep = C.unique_mask_sorted(keys)
+        out_keys, _, count = C.compact_keys(keys, keep, tile_capacity)
+        return out_keys, count
+
+    tile_keys, tile_count = jax.vmap(tiles_item)(cell, valid)
+
+    def scatter(tile_keys_i, cell_i, feats_i, valid_i):
+        trow = C.lookup(tile_keys_i, C.pack_valid(cell_i // TILE, valid_i))
+        flat = trow * CELLS + _flat_local(cell_i % TILE)
+        flat = jnp.where(valid_i & (trow < tile_capacity), flat, tile_capacity * CELLS)
+        dense = jnp.zeros((tile_capacity * CELLS, Cdim), feats_i.dtype)
+        dense = dense.at[flat].set(feats_i, mode="drop")
+        occ = jnp.zeros((tile_capacity * CELLS,), bool).at[flat].set(True, mode="drop")
+        return dense, occ
+
+    feats, occ = jax.vmap(scatter)(tile_keys, cell, st.feats, valid)
+    grid = TileGrid(
+        keys=tile_keys,
+        count=tile_count,
+        mask=occ.reshape(B, tile_capacity, CELLS),
+        stride=st.stride,
+    )
+    return grid, feats.reshape(B, tile_capacity, CELLS * Cdim)
+
+
 _DIRS = [
     (dx, dy, dz)
     for dx in (-1, 0, 1)

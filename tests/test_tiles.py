@@ -31,8 +31,8 @@ def setup():
 
 def test_tiled_matches_streamed(setup):
     st, k, streamed, tiled, params = setup
-    ps, occ_s = streamed.apply(params, st, k)
-    pt, occ_t = tiled.apply(params, st, k)
+    ps, occ_s, _ = streamed.apply(params, st, k)
+    pt, occ_t, _ = tiled.apply(params, st, k)
 
     for b in range(2):
         ns, nt = int(ps.count[b]), int(pt.count[b])
@@ -58,9 +58,25 @@ def test_tiled_matches_streamed(setup):
 
 def test_tiled_extract_occ_false(setup):
     st, k, _, tiled, params = setup
-    pruned, occ = tiled.apply(params, st, k, False)
-    assert occ is None
+    pruned, occ, q_out = tiled.apply(params, st, k, False)
+    assert occ is None and q_out is None
     assert int(pruned.count[0]) == int(k[0])
+
+
+def test_q_branch_matches(setup):
+    """The carried quality map upsamples identically on both paths."""
+    import jax
+
+    st, k, streamed, tiled, params = setup
+    qf = st.with_feats(jnp.tanh(st.feats[..., :2]))
+    ps, _, qs = streamed.apply(params, st, k, True, qf)
+    pt, _, qt = tiled.apply(params, st, k, True, qf)
+    for b in range(2):
+        n = int(qs.count[b])
+        assert int(qt.count[b]) == n
+        np.testing.assert_array_equal(np.asarray(qs.keys[b, :n]), np.asarray(qt.keys[b, :n]))
+        np.testing.assert_allclose(np.asarray(qs.feats[b, :n]), np.asarray(qt.feats[b, :n]),
+                                   rtol=0.1, atol=0.02)
 
 
 def test_dense_conv_matches_streamed_conv():
