@@ -227,25 +227,34 @@ class SparseSynthesisTransform(nn.Module):
             bg = qp(qf, nbr)
             return sb(x, nbr, bg)
 
-        cat = x.with_feats(
-            jnp.concatenate(
-                [x.feats, qf.feats.astype(x.feats.dtype)], axis=-1
-            )
-        )
-        grid, feats = TL.rasterize(cat, tile_cap)
+        # Rasterize once (q is tiny); the FiLM (beta, gamma) tensor is 2C
+        # channels wide — as a grid it would be the biggest buffer of the
+        # whole decode (7.5GB at vox10 stride 2), so it is extracted to
+        # rows immediately and FiLM is applied row-wise between the two
+        # conv pairs.
+        grid, qg = TL.rasterize(qf, tile_cap)
         nbr_rows = TL.neighbor_rows(grid.keys)
         mask = grid.mask & grid.valid[:, :, None]
-        B, Nt = grid.keys.shape
-        c = x.num_channels
-        fs = feats.reshape(B, Nt, TL.CELLS, c + 2).astype(jnp.bfloat16)
-        xg = fs[..., :c].reshape(B, Nt, TL.CELLS * c)
-        qg = fs[..., c:].reshape(B, Nt, TL.CELLS * 2)
-        bg = qp.grid(qg, nbr_rows, mask)
-        xg = sb.grid(xg, nbr_rows, mask, bg)
-        ext = TL.extract_sparse(grid, xg, mask, x.capacity,
-                                feats_dtype=x.feats.dtype)
+
+        bg_grid = qp.chain.grid(qg.astype(jnp.bfloat16), nbr_rows, mask)
+        bg = TL.extract_sparse(grid, bg_grid, mask, x.capacity,
+                               feats_dtype=jnp.float32)
+        del bg_grid
+
+        xg = TL.scatter_feats(grid, x, dtype=jnp.bfloat16)
+        residual = x.feats
+        x1g = sb.conv1.grid(xg, nbr_rows, mask)
+        x1 = TL.extract_sparse(grid, x1g, mask, x.capacity,
+                               feats_dtype=jnp.float32)
+        beta, gamma = jnp.split(bg.feats, 2, axis=-1)
+        filmed = x.with_feats(x1.feats * beta + gamma)
+        x2g = sb.conv2.grid(
+            TL.scatter_feats(grid, filmed, dtype=jnp.bfloat16), nbr_rows, mask
+        )
+        x2 = TL.extract_sparse(grid, x2g, mask, x.capacity,
+                               feats_dtype=jnp.float32)
         # Same coordinate set in canonical order -> rows align with x.
-        return x.with_feats(ext.feats)
+        return x.with_feats(x2.feats + residual)
 
     @nn.compact
     def __call__(

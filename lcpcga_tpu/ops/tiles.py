@@ -202,6 +202,26 @@ def rasterize(st: SparseTensor, tile_capacity: int) -> Tuple[TileGrid, jax.Array
     return grid, feats.reshape(B, tile_capacity, CELLS * Cdim)
 
 
+def scatter_feats(grid: TileGrid, st: SparseTensor, dtype=None) -> jax.Array:
+    """Scatter row features onto an existing grid (st's coordinate set
+    must be the grid's occupied cells). Returns [B, Nt, T^3 * C]."""
+    Cdim = st.num_channels
+    B, Nt = grid.keys.shape
+    cell = st.coords // st.stride
+    valid = st.valid
+    feats = st.feats if dtype is None else st.feats.astype(dtype)
+
+    def scatter(tile_keys_i, cell_i, feats_i, valid_i):
+        trow = C.lookup(tile_keys_i, C.pack_valid(cell_i // TILE, valid_i))
+        flat = trow * CELLS + _flat_local(cell_i % TILE)
+        flat = jnp.where(valid_i & (trow < Nt), flat, Nt * CELLS)
+        dense = jnp.zeros((Nt * CELLS, Cdim), feats_i.dtype)
+        return dense.at[flat].set(feats_i, mode="drop")
+
+    out = jax.vmap(scatter)(grid.keys, cell, feats, valid)
+    return out.reshape(B, Nt, CELLS * Cdim)
+
+
 _DIRS = [
     (dx, dy, dz)
     for dx in (-1, 0, 1)
