@@ -58,6 +58,11 @@ class Capacities:
     # Tiled-dense generative upsampling (ops/tiles). 0 disables (the
     # streamed gather path is then used — slower, reference semantics).
     tile_fraction: float = 0.62
+    # Same-stride dense conv stacks (FiLM/Q-head/post). 0 disables
+    # independently of tile_fraction. Default OFF: the path is
+    # CPU-verified but crashes the axon TPU worker at vox10 scale
+    # (round-2 debugging target; the gather-based stacks work).
+    same_tile_fraction: float = 0.0
 
     def cap(self, stride: int) -> int:
         return self.caps[stride.bit_length() - 1]
@@ -80,11 +85,11 @@ class Capacities:
     def same_tile_cap(self, stride: int) -> int:
         """Tile capacity for same-stride dense conv stacks (measured:
         <= 0.26 tiles per occupied cell at T=4 on vox10 surfaces)."""
-        if self.tile_fraction <= 0:
+        if self.tile_fraction <= 0 or self.same_tile_fraction <= 0:
             return 0
         from ..ops import round_up
 
-        return max(256, round_up(int(0.35 * self.cap(stride))))
+        return max(256, round_up(int(self.same_tile_fraction * self.cap(stride))))
 
     @classmethod
     def for_cloud(cls, coords, margin: float = 1.3) -> "Capacities":

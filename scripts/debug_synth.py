@@ -23,9 +23,15 @@ def run(n_points):
     from lcpcga_tpu.models.codec import ColorModel as _CM
 
     log(f"=== n={n_points}")
+    import os as _os
+
     coords, colors = surface_cloud(n_points, resolution=1024, seed=0)
     n = coords.shape[0]
-    caps = Capacities.for_cloud(coords)
+    caps = Capacities.for_points(int(n * 1.05))
+    if _os.environ.get("LCPCGA_NO_SAME_TILES"):
+        import dataclasses
+
+        caps = dataclasses.replace(caps, same_tile_fraction=0.0)
     log(f"caps {caps.caps} cand {[caps.cand(s) for s in (8,4,2)]}")
     model = ColorModel(caps=caps)
 
