@@ -58,11 +58,21 @@ class Capacities:
     # Tiled-dense generative upsampling (ops/tiles). 0 disables (the
     # streamed gather path is then used — slower, reference semantics).
     tile_fraction: float = 0.62
-    # Same-stride dense conv stacks (FiLM/Q-head/post). 0 disables
+    # Same-stride dense conv stacks at the FiLM/Q-head levels. 0 disables
     # independently of tile_fraction. Default OFF: the path is
-    # CPU-verified but crashes the axon TPU worker at vox10 scale
+    # CPU-verified but crashed the axon TPU worker at vox10 scale
     # (round-2 debugging target; the gather-based stacks work).
     same_tile_fraction: float = 0.0
+    # Same-stride dense path for the final post-conv stack (stride 1,
+    # the single heaviest gather stack) — controlled separately.
+    post_tile_fraction: float = 0.0
+
+    def post_tile_cap(self, stride: int) -> int:
+        if self.tile_fraction <= 0 or self.post_tile_fraction <= 0:
+            return 0
+        from ..ops import round_up
+
+        return max(256, round_up(int(self.post_tile_fraction * self.cap(stride))))
 
     def cap(self, stride: int) -> int:
         return self.caps[stride.bit_length() - 1]
@@ -312,7 +322,7 @@ class SparseSynthesisTransform(nn.Module):
         # Post conv: n3 -> n3 -> n3//2 -> c_out.
         post = ConvChain(c_in=self.n3, channels=(self.n3, self.n3 // 2, self.c_out),
                          relus=(True, True, False))
-        tile1 = self.caps.same_tile_cap(1)
+        tile1 = self.caps.post_tile_cap(1)
         if tile1 > 0:
             grid, feats = TL.rasterize(x, tile1)
             nbr_rows = TL.neighbor_rows(grid.keys)

@@ -27,11 +27,13 @@ def run(n_points):
 
     coords, colors = surface_cloud(n_points, resolution=1024, seed=0)
     n = coords.shape[0]
-    caps = Capacities.for_points(int(n * 1.05))
-    if _os.environ.get("LCPCGA_NO_SAME_TILES"):
-        import dataclasses
+    import dataclasses
 
-        caps = dataclasses.replace(caps, same_tile_fraction=0.0)
+    caps = Capacities.for_points(int(n * 1.05))
+    if _os.environ.get("LCPCGA_SAME_TILES"):
+        caps = dataclasses.replace(caps, same_tile_fraction=0.35)
+    if _os.environ.get("LCPCGA_POST_TILES"):
+        caps = dataclasses.replace(caps, post_tile_fraction=0.35)
     log(f"caps {caps.caps} cand {[caps.cand(s) for s in (8,4,2)]}")
     model = ColorModel(caps=caps)
 
