@@ -65,7 +65,8 @@ class Capacities:
     same_tile_fraction: float = 0.0
     # Same-stride dense path for the final post-conv stack (stride 1,
     # the single heaviest gather stack) — controlled separately.
-    post_tile_fraction: float = 0.0
+    # TPU-verified at vox10 scale (unlike the level stacks above).
+    post_tile_fraction: float = 0.35
 
     def post_tile_cap(self, stride: int) -> int:
         if self.tile_fraction <= 0 or self.post_tile_fraction <= 0:
