@@ -71,6 +71,8 @@ def metrics_to_row(res: Dict[str, float]) -> Dict[str, float]:
 class TestsetRunner:
     """Incremental-CSV evaluation loop (/root/reference/evaluate.py:55-216)."""
 
+    __test__ = False  # not a pytest class despite the name
+
     def __init__(self, out_dir: str, resolution: int = 1023,
                  use_pcqm: Optional[bool] = None):
         self.out_dir = out_dir
