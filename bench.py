@@ -37,7 +37,9 @@ def main():
     coords, colors = surface_cloud(N_POINTS, resolution=1024, seed=0)
     n = coords.shape[0]
 
-    caps = Capacities.for_points(int(n * 1.05))
+    # Bucketed profile: any frame within the same point-count bucket
+    # reuses this compiled codec (no per-frame recompiles).
+    caps = Capacities.bucketed(n)
     model = ColorModel(caps=caps)
 
     # Random weights: timing-representative (same FLOPs/memory as

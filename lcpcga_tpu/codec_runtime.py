@@ -51,6 +51,39 @@ def _channel_indexes(n: int, c: int) -> np.ndarray:
     return np.tile(np.arange(c, dtype=np.int32), n)
 
 
+def capacities_for_stream(stream) -> "Capacities":
+    """Reconstruct the encoder's FULL capacity profile (row caps,
+    candidate factor, tile fractions — every buffer-sizing knob of the
+    compiled program) from a v2 bitstream header — bytes + weights
+    fully determine the decoder (decoder self-sufficiency of
+    /root/reference/model/model.py:267-315)."""
+    from .models import Capacities
+
+    if not stream.caps or not any(stream.caps):
+        raise ValueError("stream header carries no capacity profile")
+    return Capacities(
+        caps=tuple(int(c) for c in stream.caps),
+        cand_factor=int(stream.cand_factor),
+        tile_fraction=stream.tile_pct / 100.0,
+        same_tile_fraction=stream.same_tile_pct / 100.0,
+        post_tile_fraction=stream.post_tile_pct / 100.0,
+    )
+
+
+def codec_for_stream(model_cfg: dict, params, stream) -> "PointCloudCodec":
+    """Build a decoder for a stream from its header alone (plus model
+    config + weights). The codec is compiled for the stream's capacity
+    profile; reuse it for every stream sharing that profile (see
+    Capacities.bucketed)."""
+    from .models.codec import make_model
+
+    caps = capacities_for_stream(stream)
+    model = make_model(model_cfg, caps)
+    codec = PointCloudCodec(model, params, depth=stream.depth)
+    codec.update()
+    return codec
+
+
 class PointCloudCodec:
     """Host-side codec wrapper around a trained ColorModel.
 
@@ -85,9 +118,9 @@ class PointCloudCodec:
 
         @jax.jit
         def synthesis_fn(params, y_hat, q_hat, k):
-            x_hat = m.apply(params, y_hat, q_hat, k, method=_CM.synthesis)
+            x_hat, ov = m.apply(params, y_hat, q_hat, k, method=_CM.synthesis)
             colors = jnp.clip(jnp.round(x_hat.feats * 255.0), 0.0, 255.0) / 255.0
-            return x_hat.with_feats(colors)
+            return x_hat.with_feats(colors), ov
 
         self._analysis = analysis_fn
         self._encode_z = encode_z_fn
@@ -181,8 +214,20 @@ class PointCloudCodec:
         else:
             q_st = self._q_tensor(x, q)
 
-        y, _q_latent, k = self._analysis(self.params, x, q_st)
-        z_vals_dev, z_count_dev = self._encode_z(self.params, y)
+        y, _q_latent, k, ov_a = self._analysis(self.params, x, q_st)
+        z_vals_dev, z_count_dev, ov_z = self._encode_z(self.params, y)
+
+        # Loud overflow detection: a full capacity buffer means dropped
+        # coordinates and a silently-corrupted stream (VERDICT r1 #5/#6).
+        if bool(np.asarray(ov_a)[0]) or bool(np.asarray(ov_z)[0]) or int(
+            y.count[0]
+        ) >= self.caps.cap(LATENT_STRIDE):
+            raise RuntimeError(
+                "capacity overflow during encode: a pyramid level filled its "
+                f"static buffer (caps={self.caps.caps}). Re-build the codec "
+                "with a larger capacity profile (Capacities.for_points / "
+                "for_cloud with more margin)."
+            )
 
         # Host: z stream.
         n_z = int(z_count_dev[0])
@@ -221,6 +266,13 @@ class PointCloudCodec:
             points_payload=points_payload,
             y_payload=y_payload,
             z_payload=z_payload,
+            n_points=int(coords.shape[0]),
+            depth=self.depth,
+            caps=tuple(self.caps.caps),
+            cand_factor=int(self.caps.cand_factor),
+            tile_pct=int(round(self.caps.tile_fraction * 100)),
+            same_tile_pct=int(round(self.caps.same_tile_fraction * 100)),
+            post_tile_pct=int(round(self.caps.post_tile_fraction * 100)),
         )
         if path is not None:
             stream.save(path)
@@ -238,6 +290,17 @@ class PointCloudCodec:
     def decompress(self, stream: Bitstream, return_debug: bool = False):
         """Returns (coords [N,3] int32, colors [N,3] float32 in [0,1])."""
         self._require_tables()
+        # Self-contained stream: the header carries the capacity profile
+        # the encoder compiled with; this codec must match it.
+        if stream.caps and any(stream.caps) and tuple(stream.caps) != tuple(
+            self.caps.caps
+        ):
+            raise ValueError(
+                f"stream was encoded with capacity profile {tuple(stream.caps)} "
+                f"but this codec was built with {tuple(self.caps.caps)}; "
+                "construct the decoder via codec_for_stream()/"
+                "Capacities(caps=stream.caps)."
+            )
         # Latent coordinates.
         grid = octree_decode(
             stream.points_payload, self.depth - 3, self.caps.cap(LATENT_STRIDE)
@@ -279,7 +342,13 @@ class PointCloudCodec:
         y_hat = y_coords.with_feats(jnp.asarray(y_hat_pad))
 
         k = jnp.asarray([stream.k], jnp.int32)
-        x_hat = self._synthesis(self.params, y_hat, q_hat, k)
+        x_hat, ov_s = self._synthesis(self.params, y_hat, q_hat, k)
+        if bool(np.asarray(ov_s)[0]):
+            raise RuntimeError(
+                "capacity overflow during decode: a candidate/tile buffer "
+                f"filled up (caps={self.caps.caps}) — the reconstruction "
+                "would silently drop points. Decode with a larger profile."
+            )
 
         n_out = int(x_hat.count[0])
         out_coords = np.asarray(x_hat.coords[0, :n_out])

@@ -3,10 +3,22 @@
 Byte-aligned replacement for the reference's ``bitstream``-package
 container (/root/reference/model/model.py:214-315 — which converts the
 whole stream through a Python string of '0'/'1' characters; SURVEY.md
-#21 flags it as notably slow). Identical logical layout:
+#21 flags it as notably slow). Same logical layout (z length, payload
+lengths, per-scale point counts k1..k3, then the latent-coordinate /
+y / z payloads) plus the fields that make the stream SELF-CONTAINED:
 
-  header: z length (shape), payload lengths, per-scale true point
-  counts k1..k3; payloads: latent-coordinate stream, y stream, z stream.
+  * ``n_points``  — original point count (bpp bookkeeping);
+  * ``depth``     — octree depth of the latent-coordinate coder;
+  * ``caps``      — the 6-level capacity profile the encoder compiled
+                    with. The decoder reconstructs the identical
+                    ``Capacities`` from the header, so bytes + weights
+                    fully determine the reconstruction (decoder
+                    self-sufficiency of /root/reference/model/
+                    model.py:267-315 — the reference needs no capacity
+                    profile because torch shapes are dynamic).
+  * ``q_payload`` — optional second hyperprior stream for the
+                    separate-q-model ablation
+                    (/root/reference/model/model.py:129-135).
 
 Little-endian struct packing; magic + version for forward evolution.
 """
@@ -15,10 +27,15 @@ from __future__ import annotations
 
 import dataclasses
 import struct
-from typing import List
+from typing import List, Optional, Tuple
 
 MAGIC = b"LCPT"
-VERSION = 1
+VERSION = 2
+
+_HEAD_FMT = "<4sBBB11I6I4B"
+_HEAD_SIZE = struct.calcsize(_HEAD_FMT)
+
+_FLAG_SEPARATE_Q = 1
 
 
 @dataclasses.dataclass
@@ -28,40 +45,97 @@ class Bitstream:
     points_payload: bytes    # lossless latent coordinate stream (octree)
     y_payload: bytes
     z_payload: bytes
+    # Self-containment fields (v2).
+    n_points: int = 0        # original cloud size (bpp accounting)
+    depth: int = 10          # octree depth at stride 1 (vox10 = 10)
+    caps: Tuple[int, ...] = ()   # 6-level capacity profile
+    # Remaining Capacities fields (buffer sizing is part of the encoder's
+    # compiled program; the decoder must reproduce it or risk overflow).
+    # Fractions are fixed-point 1/100, clamped to 2.55.
+    cand_factor: int = 18
+    tile_pct: int = 62
+    same_tile_pct: int = 0
+    post_tile_pct: int = 35
+    # separate_q_model ablation: q latent coded by its own hyperprior.
+    q_payload: bytes = b""
+    qz_payload: bytes = b""
+    qz_length: int = 0
 
     def to_bytes(self) -> bytes:
+        caps = tuple(self.caps) if self.caps else (0,) * 6
+        assert len(caps) == 6, caps
+        flags = _FLAG_SEPARATE_Q if (self.q_payload or self.qz_payload) else 0
         head = struct.pack(
-            "<4sBIIIIIII",
+            _HEAD_FMT,
             MAGIC,
             VERSION,
+            flags,
+            self.depth,
+            self.qz_length,
+            self.n_points,
             self.z_length,
             len(self.points_payload),
             len(self.y_payload),
             len(self.z_payload),
+            len(self.q_payload),
+            len(self.qz_payload),
             self.k[0],
             self.k[1],
             self.k[2],
+            *caps,
+            self.cand_factor & 0xFF,
+            min(self.tile_pct, 255),
+            min(self.same_tile_pct, 255),
+            min(self.post_tile_pct, 255),
         )
-        return head + self.points_payload + self.y_payload + self.z_payload
+        return (head + self.points_payload + self.y_payload + self.z_payload
+                + self.q_payload + self.qz_payload)
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "Bitstream":
-        head_size = struct.calcsize("<4sBIIIIIII")
-        magic, version, zlen, lp, ly, lz, k1, k2, k3 = struct.unpack(
-            "<4sBIIIIIII", data[:head_size]
-        )
+        if len(data) < _HEAD_SIZE:
+            raise ValueError(
+                f"truncated lcpcga bitstream: {len(data)} bytes < "
+                f"{_HEAD_SIZE}-byte header"
+            )
+        magic, version = struct.unpack("<4sB", data[:5])
         if magic != MAGIC:
             raise ValueError("not a lcpcga bitstream")
         if version != VERSION:
             raise ValueError(f"unsupported bitstream version {version}")
-        o = head_size
-        points = data[o : o + lp]
+        (_, _, flags, depth, qzlen, n_points, zlen, lp, ly, lz, lq, lqz,
+         k1, k2, k3, c0, c1, c2, c3, c4, c5, cand_factor, tile_pct,
+         same_tile_pct, post_tile_pct) = struct.unpack(
+            _HEAD_FMT, data[:_HEAD_SIZE]
+        )
+        caps = (c0, c1, c2, c3, c4, c5)
+        o = _HEAD_SIZE
+        points = data[o: o + lp]
         o += lp
-        y = data[o : o + ly]
+        y = data[o: o + ly]
         o += ly
-        z = data[o : o + lz]
-        return cls(z_length=zlen, k=[k1, k2, k3], points_payload=points,
-                   y_payload=y, z_payload=z)
+        z = data[o: o + lz]
+        o += lz
+        q = data[o: o + lq]
+        o += lq
+        qz = data[o: o + lqz]
+        return cls(
+            z_length=zlen,
+            k=[k1, k2, k3],
+            points_payload=points,
+            y_payload=y,
+            z_payload=z,
+            n_points=n_points,
+            depth=depth,
+            caps=tuple(caps),
+            cand_factor=cand_factor,
+            tile_pct=tile_pct,
+            same_tile_pct=same_tile_pct,
+            post_tile_pct=post_tile_pct,
+            q_payload=q,
+            qz_payload=qz,
+            qz_length=qzlen,
+        )
 
     def save(self, path: str) -> int:
         blob = self.to_bytes()

@@ -81,6 +81,13 @@ class TestsetRunner:
         os.makedirs(out_dir, exist_ok=True)
         self.rows: List[Dict] = []
 
+    def _append_row(self, csv_path: str, row: Dict) -> None:
+        """Incremental CSV append (the reference appends too,
+        /root/reference/evaluate.py:213-216; rewriting the whole file per
+        rate point is O(n^2) over a 3528-row sweep)."""
+        df = pd.DataFrame([row], index=[len(self.rows) - 1])
+        df.to_csv(csv_path, mode="a", header=not os.path.exists(csv_path))
+
     def _score(self, src_coords, src_colors, rec_coords, rec_colors) -> Dict:
         metric = PointCloudMetric(src_coords, src_colors, rec_coords, rec_colors,
                                   resolution=self.resolution)
@@ -132,7 +139,7 @@ class TestsetRunner:
                     q_g=q_g,
                 )
                 self.rows.append(row)
-                pd.DataFrame(self.rows).to_csv(csv_path)  # incremental save
+                self._append_row(csv_path, row)
         return pd.DataFrame(self.rows)
 
     def run_gpcc(self, frames: Iterable[Dict], qps: Iterable[Dict],
@@ -153,5 +160,5 @@ class TestsetRunner:
                     q_a=qp.get("qp", 0), q_g=qp.get("positionQuantizationScale", 1),
                 )
                 self.rows.append(row)
-                pd.DataFrame(self.rows).to_csv(csv_path)
+                self._append_row(csv_path, row)
         return pd.DataFrame(self.rows)

@@ -99,7 +99,7 @@ class ColorModel(nn.Module):
     ) -> Dict[str, Any]:
         """x: RGB cloud [B,N,3]; q: quality map [B,N,2]; lam: λ-map [B,N,2]."""
         x4 = self.pad_occupancy(x)
-        y, q_latent, k = self.g_a(x4, q)
+        y, q_latent, k, ov_a = self.g_a(x4, q)
         if self.separate_q_model:
             y_hat, _, (lik_y, lik_z) = self.entropy_model(y, training)
             q_hat, _, (lik_qy, lik_qz) = self.entropy_model_map(q_latent, training)
@@ -107,7 +107,7 @@ class ColorModel(nn.Module):
         else:
             y_hat, q_hat, (lik_y, lik_z) = self.entropy_model(y, training)
             likelihoods = {"y": lik_y, "z": lik_z}
-        x_hat, points, predictions = self.g_s(y_hat, q_hat, k, gt=x)
+        x_hat, points, predictions, ov_s = self.g_s(y_hat, q_hat, k, gt=x)
         return {
             "prediction": x_hat,
             "points": points,
@@ -116,6 +116,7 @@ class ColorModel(nn.Module):
             "likelihoods": likelihoods,
             "k": k,
             "y": y,
+            "overflow": ov_a | ov_s,
         }
 
     def aux_loss(self):

@@ -482,13 +482,17 @@ class MeanScaleHyperprior(nn.Module):
 
     def encode_z(self, y: SparseTensor):
         """h_a + integer quantization of z. Returns (z coded values
-        round(z - median) [B, capz, Ch] int32, z row counts [B])."""
+        round(z - median) [B, capz, Ch] int32, z row counts [B],
+        overflow [B] — a full stride-16/32 pyramid buffer)."""
         nbr8 = self_kernel_map(y)
         c16_st, d16_nbr, c32_st, d32_nbr = self.pyramid(y)
         z, _, _ = self.hyper_analysis(y, nbr8, c16_st, d16_nbr, c32_st, d32_nbr)
         z_sym, _ = self.eb.quantize_symbols(z.feats)
         z_sym = jnp.where(z.valid[..., None], z_sym, 0)
-        return z_sym, z.count
+        overflow = (c16_st.count >= self.caps.cap(16)) | (
+            c32_st.count >= self.caps.cap(32)
+        )
+        return z_sym, z.count, overflow
 
     def eb_medians(self):
         return self.eb.medians()

@@ -153,6 +153,11 @@ class GenerativeUp(nn.Module):
         gather-style convs on ~10M-candidate sets take tens of seconds.
       * streamed: per-tap lookup+gather convs (ops/conv) — reference
         implementation and CPU/test path.
+
+    Returns (pruned, occ, q_out, overflow) where overflow [B] flags a
+    capacity overflow (candidate/tile buffer full, or fewer than k
+    survivors) — a silently-corrupted reconstruction the codec runtime
+    must turn into a loud error (SURVEY.md §7 hard part 1).
     """
 
     out_channels: int
@@ -217,12 +222,13 @@ class GenerativeUp(nn.Module):
         keep = topk_mask(cand, occ.feats[..., 0], k)
         pruned = prune(x, keep, self.out_capacity)
         pruned = pruned.with_feats(pruned.feats.astype(in_dtype))
+        ov = (cand.count >= self.cand_capacity) | (pruned.count < k)
         q_out = None
         if q is not None:
             qf = sparse_conv_streamed(q, pruned, offs_t, *p["q_up"],
                                       compute_dtype=jnp.float32)
             q_out = pruned.with_feats(qf)
-        return pruned, (occ if extract_occ else None), q_out
+        return pruned, (occ if extract_occ else None), q_out, ov
 
     def _tiled(self, st, k, p, extract_occ, q):
         from ..ops import tiles as TL
@@ -288,7 +294,8 @@ class GenerativeUp(nn.Module):
             if extract_occ
             else None
         )
-        return pruned, occ_sparse, q_out
+        ov = (grid.count >= self.tile_capacity) | (pruned.count < k)
+        return pruned, occ_sparse, q_out, ov
 
 
 class UpsampleTo(nn.Module):

@@ -256,17 +256,94 @@ def _slab_slice(d: int, size: int = TILE) -> slice:
     return slice(0, size)
 
 
-def _halo_slice(d: int, size: int = TILE) -> slice:
-    if d == -1:
-        return slice(0, 1)
-    if d == 1:
-        return slice(size + 1, size + 2)
-    return slice(1, size + 1)
+def _slab_shape(d, size: int):
+    return tuple((1 if dv != 0 else size) for dv in d)
+
+
+def _extract_slabs(xp, size: int, cin: int):
+    """Pre-slice the 6 FACE slabs of every tile ONCE.
+
+    xp: [B, Ntp, size^3 * Cin] flat tiles. Returns {(axis, sign):
+    [B, Ntp+1, size^2 * Cin]} — the face plane a neighbor in direction
+    sign along ``axis`` hands over (its opposite face, _slab_slice).
+    Row Ntp is a zero miss row, so halo gathers are a plain take with no
+    post-masking.
+
+    Edge/corner slabs are sub-slices of a face slab, so the halo build
+    gathers face rows (size^2 cells) for all 26 directions and slices
+    after the gather: total gather traffic is 26 * size^2 cells/tile
+    instead of 26 * size^3 (4x less; the whole-tile formulation measured
+    1.1 s of the 2.5 s dense conv on v5e), and resident slab memory is
+    1.5x the tile array instead of 2.375x — the difference between
+    fitting vox10 HBM and OOM."""
+    B, Ntp, _ = xp.shape
+    xs = xp.reshape(B, Ntp, size, size, size, cin)
+    full = slice(0, size)
+    slabs = {}
+    for axis in range(3):
+        for sign in (-1, 1):
+            sl3 = [full, full, full]
+            sl3[axis] = _slab_slice(sign, size)
+            sl = xs[:, :, sl3[0], sl3[1], sl3[2]].reshape(B, Ntp, -1)
+            slabs[(axis, sign)] = jnp.concatenate(
+                [sl, jnp.zeros_like(sl[:, :1])], axis=1
+            )
+    return slabs
+
+
+def _face_axis(d) -> int:
+    """Priority axis whose face array serves direction d."""
+    for a in range(3):
+        if d[a] != 0:
+            return a
+    raise ValueError(d)
+
+
+def _build_halo_slabs(xp, slabs, nbrp, start, chunk, size, cin, B, Nt, pad_tiles):
+    """Assemble a haloed [B, chunk, size+2, size+2, size+2, Cin] block
+    from flat tile storage + pre-extracted face slabs.
+
+    The halo decomposes into a 3x3x3 block structure (core + 26 neighbor
+    slabs) assembled with hierarchical concatenates so the buffer is
+    written ONCE (26 sequential ``.at[]`` pastes re-materialize the
+    whole halo per paste under XLA copy-on-write — measured ~95% of
+    dense-conv runtime)."""
+    fc = size**3 * cin
+    core = jax.lax.dynamic_slice(xp, (0, start, 0), (B, chunk, fc))
+    core = core.reshape(B, chunk, size, size, size, cin)
+    nbr_chunk = jax.lax.dynamic_slice(nbrp, (0, 0, start), (B, 26, chunk))
+    miss = Nt + pad_tiles
+    full = slice(0, size)
+    piece = {(0, 0, 0): core}
+    for di, d in enumerate(_DIRS):
+        rows = nbr_chunk[:, di]
+        rows = jnp.where(rows < Nt, rows, miss)
+        a = _face_axis(d)
+        g = jax.vmap(lambda arr, r: jnp.take(arr, r, axis=0))(slabs[(a, d[a])], rows)
+        # Face plane -> [B, chunk, sx, sy, sz, cin] with size 1 on axis a,
+        # then slice the remaining axes down to the slab for d.
+        fshape = [size, size, size]
+        fshape[a] = 1
+        g = g.reshape((B, chunk) + tuple(fshape) + (cin,))
+        sl3 = [full, full, full]
+        for ax in range(3):
+            if ax != a:
+                sl3[ax] = _slab_slice(d[ax], size)
+        piece[d] = g[:, :, sl3[0], sl3[1], sl3[2]]
+    planes_x = []
+    for dx in (-1, 0, 1):
+        planes_y = []
+        for dy in (-1, 0, 1):
+            planes_y.append(
+                jnp.concatenate([piece[(dx, dy, dz)] for dz in (-1, 0, 1)], axis=4)
+            )
+        planes_x.append(jnp.concatenate(planes_y, axis=3))
+    return jnp.concatenate(planes_x, axis=2)
 
 
 def _build_halo(xp, nbrp, start, chunk, size, cin, B, Nt, pad_tiles):
-    """Assemble a haloed [B, chunk, size+2, size+2, size+2, Cin] block
-    from flat [B, Nt+pad, size^3 * Cin] tile storage."""
+    """Whole-tile-gather halo (kept for micro-bench comparison; the conv
+    entry points use _build_halo_slabs)."""
     fc = size**3 * cin
 
     def take_tiles(rows):
@@ -276,16 +353,21 @@ def _build_halo(xp, nbrp, start, chunk, size, cin, B, Nt, pad_tiles):
 
     core = jax.lax.dynamic_slice(xp, (0, start, 0), (B, chunk, fc))
     core = core.reshape(B, chunk, size, size, size, cin)
-    halo = jnp.zeros((B, chunk, size + 2, size + 2, size + 2, cin), xp.dtype)
-    halo = halo.at[:, :, 1:size + 1, 1:size + 1, 1:size + 1].set(core)
     nbr_chunk = jax.lax.dynamic_slice(nbrp, (0, 0, start), (B, 26, chunk))
+    piece = {(0, 0, 0): core}
     for di, d in enumerate(_DIRS):
         tilesd = take_tiles(nbr_chunk[:, di]).reshape(B, chunk, size, size, size, cin)
-        slab = tilesd[:, :, _slab_slice(d[0], size), _slab_slice(d[1], size),
-                      _slab_slice(d[2], size)]
-        halo = halo.at[:, :, _halo_slice(d[0], size), _halo_slice(d[1], size),
-                       _halo_slice(d[2], size)].set(slab)
-    return halo
+        piece[d] = tilesd[:, :, _slab_slice(d[0], size), _slab_slice(d[1], size),
+                          _slab_slice(d[2], size)]
+    planes_x = []
+    for dx in (-1, 0, 1):
+        planes_y = []
+        for dy in (-1, 0, 1):
+            planes_y.append(
+                jnp.concatenate([piece[(dx, dy, dz)] for dz in (-1, 0, 1)], axis=4)
+            )
+        planes_x.append(jnp.concatenate(planes_y, axis=3))
+    return jnp.concatenate(planes_x, axis=2)
 
 
 def transpose_dense_conv(
@@ -321,27 +403,51 @@ def transpose_dense_conv(
     if mask is not None:
         maskp = jnp.pad(mask, ((0, 0), (0, pad_tiles), (0, 0)))
 
+    # Unified subpixel weight: every (parent-window w, child-parity p)
+    # pair maps to kernel tap o = p - 2w per axis (or a zero row when
+    # |o| > 1). One [chunk*8, 8*Cin] @ [8*Cin, 8*Cout] matmul replaces
+    # 27 small einsums + 27 copy-on-write parity scatter-adds; the ~2.4x
+    # padded FLOPs are far cheaper than the serialization they replace.
+    import numpy as _np
+
+    idx = _np.full((2, 2, 2, 2, 2, 2), 27, _np.int32)  # 27 = zero tap
+    for wx in range(2):
+        for wy in range(2):
+            for wz in range(2):
+                for px in range(2):
+                    for py in range(2):
+                        for pz in range(2):
+                            o = (px - 2 * wx, py - 2 * wy, pz - 2 * wz)
+                            if all(-1 <= v <= 1 for v in o):
+                                idx[wx, wy, wz, px, py, pz] = (
+                                    (o[0] + 1) * 9 + (o[1] + 1) * 3 + (o[2] + 1)
+                                )
+    kern_ext = jnp.concatenate(
+        [kern, jnp.zeros((1,) + kern.shape[1:], kern.dtype)], axis=0
+    )
+    # [8(w), 8(p), Cin, Cout] -> [8(w), Cin, 8(p), Cout] -> [8Cin, 8Cout]
+    w_sub = kern_ext[jnp.asarray(idx.reshape(8, 8))]
+    w_sub = w_sub.transpose(0, 2, 1, 3).reshape(8 * Cin, 8 * Cout)
+
+    slabs = _extract_slabs(xp, PTILE, Cin)
+
     def do_chunk(ci):
         start = ci * chunk
-        halo = _build_halo(xp, nbrp, start, chunk, PTILE, Cin, B, Nt, pad_tiles)
-        child = jnp.zeros((B, chunk, TILE, TILE, TILE, Cout), jnp.float32)
-        ki = 0
-        for ox in (-1, 0, 1):
-            for oy in (-1, 0, 1):
-                for oz in (-1, 0, 1):
-                    # child parity slot this tap feeds, and the parent
-                    # shift it reads: o - off even per axis.
-                    p = (abs(ox) & 1, abs(oy) & 1, abs(oz) & 1)
-                    s = ((p[0] - ox) // 2, (p[1] - oy) // 2, (p[2] - oz) // 2)
-                    sl = halo[:, :, 1 + s[0]:1 + s[0] + PTILE,
-                              1 + s[1]:1 + s[1] + PTILE,
-                              1 + s[2]:1 + s[2] + PTILE]
-                    term = jnp.einsum(
-                        "bnxyzi,io->bnxyzo", sl, kern[ki],
-                        preferred_element_type=jnp.float32,
+        halo = _build_halo_slabs(xp, slabs, nbrp, start, chunk, PTILE, Cin, B,
+                                 Nt, pad_tiles)
+        h = halo.reshape(B * chunk, PTILE + 2, PTILE + 2, PTILE + 2, Cin)
+        cols = []
+        for wx in range(2):
+            for wy in range(2):
+                for wz in range(2):
+                    cols.append(
+                        h[:, 1 + wx:3 + wx, 1 + wy:3 + wy, 1 + wz:3 + wz]
                     )
-                    child = child.at[:, :, p[0]::2, p[1]::2, p[2]::2].add(term)
-                    ki += 1
+        col = jnp.stack(cols, axis=4).reshape(B * chunk * PCELLS, 8 * Cin)
+        child = jnp.dot(col, w_sub, preferred_element_type=jnp.float32)
+        # [N, ux,uy,uz, px,py,pz, Cout] -> interleave to [N, 4,4,4, Cout]
+        child = child.reshape(B * chunk, 2, 2, 2, 2, 2, 2, Cout)
+        child = child.transpose(0, 1, 4, 2, 5, 3, 6, 7)
         out = child.reshape(B, chunk, CELLS, Cout)
         if bias is not None:
             out = out + bias
@@ -392,21 +498,32 @@ def dense_conv(
     if mask is not None:
         maskp = jnp.pad(mask, ((0, 0), (0, pad_tiles), (0, 0)))
 
+    # Per-(dx,dy) weight with the z-window unrolled into the reduction:
+    # [3(dz), Cin] -> K = 3*Cin per matmul. 9 matmuls instead of 27 thin
+    # einsums; the z-unrolled im2col is built once per chunk with three
+    # contiguous z-slices.
+    w9 = kern.reshape(3, 3, 3, Cin, Cout)
+
+    slabs = _extract_slabs(xp, TILE, Cin)
+
     def do_chunk(ci):
         start = ci * chunk
-        halo = _build_halo(xp, nbrp, start, chunk, TILE, Cin, B, Nt, pad_tiles)
-        acc = jnp.zeros((B, chunk, TILE, TILE, TILE, Cout), jnp.float32)
-        ki = 0
-        for dx in (-1, 0, 1):
-            for dy in (-1, 0, 1):
-                for dz in (-1, 0, 1):
-                    sl = halo[:, :, 1 + dx:1 + dx + TILE, 1 + dy:1 + dy + TILE,
-                              1 + dz:1 + dz + TILE]
-                    acc = acc + jnp.einsum(
-                        "bnxyzi,io->bnxyzo", sl, kern[ki],
-                        preferred_element_type=jnp.float32,
-                    )
-                    ki += 1
+        halo = _build_halo_slabs(xp, slabs, nbrp, start, chunk, TILE, Cin, B,
+                                 Nt, pad_tiles)
+        h = halo.reshape(B * chunk, TILE + 2, TILE + 2, TILE + 2, Cin)
+        hz = jnp.concatenate(
+            [h[:, :, :, 0:TILE], h[:, :, :, 1:TILE + 1], h[:, :, :, 2:TILE + 2]],
+            axis=-1,
+        )  # [N, T+2, T+2, T, 3*Cin]
+        acc = jnp.zeros((B * chunk, TILE, TILE, TILE, Cout), jnp.float32)
+        for dx in range(3):
+            for dy in range(3):
+                sl = hz[:, dx:dx + TILE, dy:dy + TILE]
+                acc = acc + jnp.einsum(
+                    "nxyzi,io->nxyzo", sl,
+                    w9[dx, dy].reshape(3 * Cin, Cout),
+                    preferred_element_type=jnp.float32,
+                )
         out = acc.reshape(B, chunk, CELLS, Cout)
         if bias is not None:
             out = out + bias

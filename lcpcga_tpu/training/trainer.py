@@ -188,7 +188,9 @@ class Training:
             val_frames = [{"points": vc, "colors": vcol,
                            "sequence": "synthetic_val", "frame": 0}]
         n_max = max(f["points"].shape[0] for f in val_frames)
-        caps = Capacities.for_points(int(n_max * 1.1))
+        # Bucketed so repeated validations (and heterogeneous frames)
+        # reuse the compiled codec.
+        caps = Capacities.bucketed(n_max, margin=1.1)
         model = make_model(self.config["model"], caps)
         codec = PointCloudCodec(model, self.state.params)
         codec.update()

@@ -70,7 +70,7 @@ def run(n_points):
 
     @jax.jit
     def synth(params, y, q, k):
-        return model.apply(params, y, q, k, method=_CM.synthesis)
+        return model.apply(params, y, q, k, method=_CM.synthesis)[0]
 
     t0 = time.time()
     out = synth(params, y, q, jnp.asarray(k))

@@ -58,8 +58,8 @@ def main(n_points=780_000):
     log("setup done")
 
     # encode stages
-    y, q_lat, k = timed("analysis", codec._analysis, codec.params, x, qm_q)
-    z_vals, z_count = timed("encode_z", codec._encode_z, codec.params, y)
+    y, q_lat, k, _ov = timed("analysis", codec._analysis, codec.params, x, qm_q)
+    z_vals, z_count, _zov = timed("encode_z", codec._encode_z, codec.params, y)
 
     n_z = int(z_count[0])
     z_np = np.asarray(z_vals[0, :n_z]).astype(np.int32)

