@@ -37,9 +37,15 @@ def main():
     coords, colors = surface_cloud(N_POINTS, resolution=1024, seed=0)
     n = coords.shape[0]
 
-    # Bucketed profile: any frame within the same point-count bucket
-    # reuses this compiled codec (no per-frame recompiles).
-    caps = Capacities.bucketed(n)
+    # Per-cloud exact capacity profile (a codec level/tier chosen per
+    # content class): every buffer is sized to measured occupancy + 20%,
+    # which directly scales conv compute. Sweeps over heterogeneous
+    # frames use Capacities.bucketed instead (compile once per bucket).
+    import dataclasses
+
+    caps = dataclasses.replace(
+        Capacities.for_cloud(coords, margin=1.2), same_tile_fraction=1.3
+    )
     model = ColorModel(caps=caps)
 
     # Random weights: timing-representative (same FLOPs/memory as

@@ -9,3 +9,25 @@ models, a C++ rANS coder, and shard_map data parallelism.
 """
 
 __version__ = "0.1.0"
+
+# Persistent XLA compilation cache: full-scale codec programs take ~10
+# minutes to compile on the tunneled TPU backend; the cache makes every
+# process after the first start warm (verified effective on axon).
+# Opt out / redirect with $JAX_COMPILATION_CACHE_DIR or
+# $LCPCGA_NO_COMPILE_CACHE.
+import os as _os
+
+if not _os.environ.get("LCPCGA_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache = _os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            _os.path.expanduser("~/.cache/lcpcga_jax"),
+        )
+        _os.makedirs(_cache, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass

@@ -116,11 +116,33 @@ class PointCloudCodec:
         def decode_params_fn(params, y_coords, z_hat_feats):
             return m.apply(params, y_coords, z_hat_feats, method=_CM.entropy_decode_params)
 
+        # Synthesis as four separate jitted stage programs: the combined
+        # vox10 synthesis program OOMs HBM; staged execution caps the
+        # per-program peak at one level's buffers.
         @jax.jit
-        def synthesis_fn(params, y_hat, q_hat, k):
-            x_hat, ov = m.apply(params, y_hat, q_hat, k, method=_CM.synthesis)
+        def synth_a_fn(params, y_hat, q_hat, k):
+            return m.apply(params, y_hat, q_hat, k, method=_CM.synthesis_stage_a)
+
+        @jax.jit
+        def synth_b_fn(params, x, qf, k):
+            return m.apply(params, x, qf, k, method=_CM.synthesis_stage_b)
+
+        @jax.jit
+        def synth_c_fn(params, x, qf, k):
+            return m.apply(params, x, qf, k, method=_CM.synthesis_stage_c)
+
+        @jax.jit
+        def synth_d_fn(params, x):
+            x_hat, ov = m.apply(params, x, method=_CM.synthesis_stage_d)
             colors = jnp.clip(jnp.round(x_hat.feats * 255.0), 0.0, 255.0) / 255.0
             return x_hat.with_feats(colors), ov
+
+        def synthesis_fn(params, y_hat, q_hat, k):
+            x, qf, _, ov_a = synth_a_fn(params, y_hat, q_hat, k)
+            x, qf, _, ov_b = synth_b_fn(params, x, qf, k)
+            x, _, ov_c = synth_c_fn(params, x, qf, k)
+            x_hat, ov_d = synth_d_fn(params, x)
+            return x_hat, ov_a | ov_b | ov_c | ov_d
 
         self._analysis = analysis_fn
         self._encode_z = encode_z_fn

@@ -25,7 +25,14 @@ import pandas as pd
 
 from ..codec_runtime import PointCloudCodec
 from ..data.ply import write_ply
-from .anchors import gpcc_roundtrip, have_gpcc, have_pcqm, pcqm
+from .anchors import (
+    gpcc_roundtrip,
+    have_gpcc,
+    have_pcqm,
+    have_vpcc,
+    pcqm,
+    vpcc_roundtrip,
+)
 from .metrics import PointCloudMetric
 
 CSV_COLUMNS = [
@@ -137,6 +144,29 @@ class TestsetRunner:
                     t_decompress=t2 - t1,
                     q_a=q_a,
                     q_g=q_g,
+                )
+                self.rows.append(row)
+                self._append_row(csv_path, row)
+        return pd.DataFrame(self.rows)
+
+    def run_vpcc(self, frames: Iterable[Dict], rates: Iterable[Dict],
+                 experiment: str = "V-PCC") -> pd.DataFrame:
+        """V-PCC anchor sweep (/root/reference/evaluate.py:89-91,112-116;
+        rate points are tmc2 geometry/attribute QP pairs)."""
+        if not have_vpcc():
+            raise RuntimeError("tmc2 not available (set $LCPCGA_TMC2_DIR)")
+        csv_path = os.path.join(self.out_dir, "test.csv")
+        for frame in frames:
+            coords = frame["points"].astype(np.int32)
+            colors = frame["colors"].astype(np.float32)
+            for rate in rates:
+                r = vpcc_roundtrip(coords, colors, rate)
+                row = self._score(coords, colors, r["coords"], r["colors"])
+                row.update(
+                    bpp=r["bpp"], sequence=frame.get("sequence", "?"),
+                    frameIdx=frame.get("frame", 0),
+                    t_compress=r["t_compress"], t_decompress=r["t_decompress"],
+                    q_a=rate.get("attrQP", 0), q_g=rate.get("geomQP", 0),
                 )
                 self.rows.append(row)
                 self._append_row(csv_path, row)

@@ -96,8 +96,13 @@ def _one_direction(
     for i, ch in enumerate("yuv"):
         out[f"{ch}_mse"] = float(cerr[i])
         out[f"{ch}_psnr"] = 10 * np.log10(1.0 / max(cerr[i], 1e-20))
-    out["yuv_mse"] = float(cerr.mean())
-    out["yuv_psnr"] = 10 * np.log10(1.0 / max(cerr.mean(), 1e-20))
+    # Combined YUV uses BT.709-ish 6:1:1 weighting on BOTH mse and psnr
+    # (independently — the reference CSV obeys both identities exactly;
+    # /root/reference/utils.py pc_metrics convention).
+    out["yuv_mse"] = float((6 * cerr[0] + cerr[1] + cerr[2]) / 8)
+    out["yuv_psnr"] = float(
+        (6 * out["y_psnr"] + out["u_psnr"] + out["v_psnr"]) / 8
+    )
     return out
 
 
@@ -138,10 +143,15 @@ class PointCloudMetric:
                             self.resolution, drop_duplicates, b_normals=self.sn)
         result = {f"AB_{k}": v for k, v in ab.items()}
         result.update({f"BA_{k}": v for k, v in ba.items()})
-        for k in ("mse", "hausdorff", "psnr_mse", "psnr_hausdorff",
-                  "y_mse", "u_mse", "v_mse", "y_psnr", "u_psnr", "v_psnr",
-                  "yuv_mse", "yuv_psnr"):
+        # Symmetric = WORST direction: min for PSNR-like, max for
+        # error-like quantities (min-of-PSNR <=> max-of-MSE; verified
+        # against /root/reference/results/Ours/test.csv which obeys
+        # sym_mse == max(AB, BA) exactly).
+        for k in ("psnr_mse", "psnr_hausdorff", "y_psnr", "u_psnr",
+                  "v_psnr", "yuv_psnr"):
             result[f"sym_{k}"] = min(ab[k], ba[k])
+        for k in ("mse", "hausdorff", "y_mse", "u_mse", "v_mse", "yuv_mse"):
+            result[f"sym_{k}"] = max(ab[k], ba[k])
         if self.sn is not None:
             # Only the B->A direction has reference normals; report it as
             # the symmetric D2 (the reference CSV stores zeros without

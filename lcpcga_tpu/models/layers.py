@@ -39,6 +39,44 @@ from ..ops import (
 )
 
 
+class DownConv(nn.Module):
+    """3^3 stride-2 downsampling conv with two execution paths over
+    SHARED [27, Cin, Cout] weights:
+
+      * sparse: kernel map onto the downsampled coordinate set
+        (ME kernel3/stride2, /root/reference/model/transforms.py:49-51);
+      * packed: 2^3-support dense conv on the space-to-depth packed tile
+        grid (ops/tiles.downsample_pack / pack_stride2_kernel) — the TPU
+        path; no gathers.
+    """
+
+    c_in: int
+    c_out: int
+
+    def setup(self):
+        init = nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal")
+        self.kernel = self.param("kernel", init, (27, self.c_in, self.c_out),
+                                 jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros, (self.c_out,),
+                               jnp.float32)
+
+    def __call__(self, in_st: SparseTensor, out_st: SparseTensor,
+                 nbr: jax.Array) -> SparseTensor:
+        from ..ops.conv import sparse_conv_apply
+
+        feats = sparse_conv_apply(in_st.feats, nbr, self.kernel, self.bias,
+                                  out_st.valid)
+        return out_st.with_feats(feats)
+
+    def packed(self, packed_feats: jax.Array, nbr_rows: jax.Array,
+               mask: jax.Array, relu: bool = False) -> jax.Array:
+        from ..ops import tiles as TL
+
+        w8 = TL.pack_stride2_kernel(self.kernel)
+        return TL.dense_conv2(packed_feats, nbr_rows, w8, self.bias,
+                              mask=mask, relu=relu)
+
+
 class ConvReluConv(nn.Module):
     """conv3 -> ReLU -> conv3 on a fixed coordinate set (shared kernel map)."""
 
@@ -128,7 +166,9 @@ class ScaledBlock(nn.Module):
         B, Nt, _ = x.shape
         c = self.channels
         xs = x.reshape(B, Nt, CELLS, c)
-        bg = beta_gamma.reshape(B, Nt, CELLS, 2 * c)
+        # -1: the FiLM tensor is 2c wide normally, width 2 under
+        # condition_ablation (broadcasts against c like the sparse path).
+        bg = beta_gamma.reshape(B, Nt, CELLS, -1)
         beta, gamma = jnp.split(bg, 2, axis=-1)
         m = mask[..., None].astype(xs.dtype)
         xs = (xs * beta + gamma) * m  # re-mask: gamma adds at empty cells
@@ -319,6 +359,37 @@ class UpsampleTo(nn.Module):
         return SparseConv(self.out_channels)(st, target, nbr_t)
 
 
+class PredictHead(nn.Module):
+    """Per-scale FiLM predictor: conv(n) -> ReLU -> Dense(n) -> ReLU ->
+    conv(2n) (/root/reference/model/blocks.py:206-226). Dual paths."""
+
+    c_in: int
+    n: int
+
+    def setup(self):
+        self.conv_a = ConvChain(c_in=self.c_in, channels=(self.n,),
+                                relus=(True,))
+        self.dense = nn.Dense(self.n)
+        self.conv_b = ConvChain(c_in=self.n, channels=(2 * self.n,),
+                                relus=(False,))
+
+    def __call__(self, x: SparseTensor, nbr: jax.Array) -> jax.Array:
+        h = self.conv_a(x, nbr)
+        h = h.with_feats(nn.relu(self.dense(h.feats)))
+        return self.conv_b(h, nbr).feats
+
+    def grid(self, feats: jax.Array, nbr_rows: jax.Array,
+             mask: jax.Array) -> jax.Array:
+        from ..ops.tiles import CELLS
+
+        h = self.conv_a.grid(feats, nbr_rows, mask)
+        B, Nt, FC = h.shape
+        h = nn.relu(self.dense(h.reshape(B, Nt, CELLS, self.n)))
+        m = mask[..., None].astype(h.dtype)
+        h = (h * m).reshape(B, Nt, CELLS * self.n)
+        return self.conv_b.grid(h, nbr_rows, mask)
+
+
 class ConditionEncoder(nn.Module):
     """Encoder-side quality-map pyramid
     (/root/reference/model/blocks.py:185-251).
@@ -328,16 +399,30 @@ class ConditionEncoder(nn.Module):
     FiLM (beta, gamma) of width 2*N_scale. ``condition_ablation``
     bypasses the predict heads (Ablation_NoCondition config).
 
-    down_plans: per stage (out_st, nbr) from the analysis transform's
-    downsample maps — identical coordinate sets by construction.
-    self_nbrs: per stage self kernel map at the downsampled level.
+    Sparse path: down_plans per stage (out_st, nbr) from the analysis
+    transform's downsample maps — identical coordinate sets by
+    construction; self_nbrs per stage self kernel map. The tiled path is
+    driven stage-wise by AnalysisTransform via the ``pre``/``downs``/
+    ``predicts`` submodules' grid methods.
     """
 
     n_scales: Sequence[int]
     n_features: Sequence[int] = (2, 2, 2, 2)
     condition_ablation: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.pre = ConvChain(c_in=2, channels=(self.n_features[0],),
+                             relus=(True,))
+        self.downs = [
+            DownConv(self.n_features[i], self.n_features[i + 1])
+            for i in range(len(self.n_scales))
+        ]
+        if not self.condition_ablation:
+            self.predicts = [
+                PredictHead(self.n_features[i + 1], n)
+                for i, n in enumerate(self.n_scales)
+            ]
+
     def __call__(
         self,
         q: SparseTensor,
@@ -345,21 +430,14 @@ class ConditionEncoder(nn.Module):
         down_plans: Sequence[Tuple[SparseTensor, jax.Array]],
         self_nbrs: Sequence[jax.Array],
     ):
-        x = SparseConv(self.n_features[0])(q, q, nbr0)
-        x = x.with_feats(nn.relu(x.feats))
-
+        x = self.pre(q, nbr0)
         beta_gammas = []
         for i, (out_st, nbr_down) in enumerate(down_plans):
-            x = SparseConv(self.n_features[i + 1])(x, out_st, nbr_down)
+            x = self.downs[i](x, out_st, nbr_down)
             if self.condition_ablation:
                 beta_gammas.append(x.feats)
                 continue
-            n = self.n_scales[i]
-            h = SparseConv(n)(x, x, self_nbrs[i])
-            h = h.with_feats(nn.relu(h.feats))
-            h = h.with_feats(nn.relu(nn.Dense(n)(h.feats)))
-            h = SparseConv(2 * n)(h, h, self_nbrs[i])
-            beta_gammas.append(h.feats)
+            beta_gammas.append(self.predicts[i](x, self_nbrs[i]))
         return x, beta_gammas
 
 

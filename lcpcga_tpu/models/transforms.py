@@ -36,11 +36,10 @@ from ..ops import (
 from .layers import (
     ConditionEncoder,
     ConvChain,
-    ConvReluConv,
+    DownConv,
     GenerativeUp,
     QPredict,
     ScaledBlock,
-    UpsampleTo,
 )
 
 
@@ -66,14 +65,17 @@ class Capacities:
     # Same-stride dense path for the final post-conv stack (stride 1,
     # the single heaviest gather stack) — controlled separately.
     # TPU-verified at vox10 scale (unlike the level stacks above).
-    post_tile_fraction: float = 0.35
+    post_tile_fraction: float = 1.3
 
     def post_tile_cap(self, stride: int) -> int:
+        """Tile capacity for the post-conv stack: a T=4 tile at stride s
+        is occupied iff its stride-4s cell is, so cap(4s) IS the exact
+        tile count bound; the fraction is a safety multiplier."""
         if self.tile_fraction <= 0 or self.post_tile_fraction <= 0:
             return 0
         from ..ops import round_up
 
-        return max(256, round_up(int(self.post_tile_fraction * self.cap(stride))))
+        return max(256, round_up(int(self.post_tile_fraction * self.cap(4 * stride))))
 
     def cap(self, stride: int) -> int:
         return self.caps[stride.bit_length() - 1]
@@ -94,13 +96,13 @@ class Capacities:
         return max(256, round_up(int(self.tile_fraction * self.cap(stride_in))))
 
     def same_tile_cap(self, stride: int) -> int:
-        """Tile capacity for same-stride dense conv stacks (measured:
-        <= 0.26 tiles per occupied cell at T=4 on vox10 surfaces)."""
+        """Tile capacity for same-stride dense conv stacks: tiles at
+        stride s = occupancy at stride 4s (see post_tile_cap)."""
         if self.tile_fraction <= 0 or self.same_tile_fraction <= 0:
             return 0
         from ..ops import round_up
 
-        return max(256, round_up(int(self.same_tile_fraction * self.cap(stride))))
+        return max(256, round_up(int(self.same_tile_fraction * self.cap(4 * stride))))
 
     @classmethod
     def for_cloud(cls, coords, margin: float = 1.3) -> "Capacities":
@@ -167,6 +169,17 @@ class AnalysisTransform(nn.Module):
     /root/reference/model/transforms.py:127 — and overflow [B], True
     where any pyramid level filled its static capacity and dropped
     coordinates).
+
+    Two execution paths over shared parameters:
+
+      * sparse: kernel-map gather convs on the coordinate pyramid
+        (CPU/test reference);
+      * tiled (caps.tile_fraction > 0): one rasterization at stride 1,
+        then every conv is a dense tile einsum; stride-2 downsampling is
+        a 2^3-support conv on space-to-depth packed tiles
+        (ops/tiles.downsample_pack) — no per-row gathers anywhere. Tile
+        capacity at stride s is exactly cap(4s): a T=4 tile is occupied
+        iff its stride-4s cell is.
     """
 
     caps: Capacities
@@ -177,8 +190,35 @@ class AnalysisTransform(nn.Module):
     source_condition: bool = True
     condition_ablation: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.pre = ConvChain(c_in=self.channels_in, channels=(self.n1,),
+                             relus=(True,))
+        self.down2 = DownConv(self.n1, self.n2)
+        self.sb2 = ScaledBlock(self.n2)
+        self.down4 = DownConv(self.n2, self.n3)
+        self.sb4 = ScaledBlock(self.n3)
+        self.down8 = DownConv(self.n3, self.n3)
+        self.sb8 = ScaledBlock(self.n3)
+        self.post = ConvChain(c_in=self.n3, channels=(self.n3,),
+                              relus=(False,))
+        if self.source_condition:
+            self.q_plus = ConvChain(c_in=self.channels_in, channels=(2, 2),
+                                    relus=(True, False))
+        # Scale widths follow the ScaledBlock widths [n2, n3, n3]
+        # (the reference passes [N2, N2, N3],
+        # /root/reference/model/transforms.py:60-63 — identical for the
+        # shipped config where N2 == N3 == 128).
+        self.cond = ConditionEncoder(
+            n_scales=(self.n2, self.n3, self.n3),
+            condition_ablation=self.condition_ablation,
+        )
+
     def __call__(self, x: SparseTensor, q: SparseTensor):
+        if self.caps.tile_fraction > 0:
+            return self._tiled(x, q)
+        return self._sparse(x, q)
+
+    def _sparse(self, x: SparseTensor, q: SparseTensor):
         nbr1 = self_kernel_map(x)
 
         # Geometry plan: coordinate pyramid + kernel maps, shared by the
@@ -198,33 +238,23 @@ class AnalysisTransform(nn.Module):
         # content-dependent offset to the quality map
         # (/root/reference/model/transforms.py:33-40,92-98).
         if self.source_condition:
-            q_plus = ConvReluConv(2, 2)(x, nbr1)
-            q = q.with_feats(q.feats + q_plus.feats)
+            q = q.with_feats(q.feats + self.q_plus(x, nbr1).feats)
 
-        # Condition pyramid -> FiLM (beta, gamma) per scale.
-        # Scale widths follow the ScaledBlock widths [n2, n3, n3]
-        # (the reference passes [N2, N2, N3],
-        # /root/reference/model/transforms.py:60-63 — identical for the
-        # shipped config where N2 == N3 == 128).
-        q_latent, beta_gammas = ConditionEncoder(
-            n_scales=(self.n2, self.n3, self.n3),
-            condition_ablation=self.condition_ablation,
-        )(q, nbr1, [(d2_st, d2_nbr), (d4_st, d4_nbr), (d8_st, d8_nbr)], [nbr2, nbr4, nbr8])
+        q_latent, beta_gammas = self.cond(
+            q, nbr1,
+            [(d2_st, d2_nbr), (d4_st, d4_nbr), (d8_st, d8_nbr)],
+            [nbr2, nbr4, nbr8],
+        )
 
         # Feature path.
-        h = SparseConv(self.n1)(x, x, nbr1)
-        h = h.with_feats(nn.relu(h.feats))
-
-        h = SparseConv(self.n2)(h, d2_st, d2_nbr)
-        h = ScaledBlock(self.n2)(h, nbr2, beta_gammas[0])
-
-        h = SparseConv(self.n3)(h, d4_st, d4_nbr)
-        h = ScaledBlock(self.n3)(h, nbr4, beta_gammas[1])
-
-        h = SparseConv(self.n3)(h, d8_st, d8_nbr)
-        h = ScaledBlock(self.n3)(h, nbr8, beta_gammas[2])
-
-        y = SparseConv(self.n3)(h, h, nbr8)
+        h = self.pre(x, nbr1)
+        h = self.down2(h, d2_st, d2_nbr)
+        h = self.sb2(h, nbr2, beta_gammas[0])
+        h = self.down4(h, d4_st, d4_nbr)
+        h = self.sb4(h, nbr4, beta_gammas[1])
+        h = self.down8(h, d8_st, d8_nbr)
+        h = self.sb8(h, nbr8, beta_gammas[2])
+        y = self.post(h, nbr8)
 
         # Capacity overflow: a level that filled its buffer silently
         # dropped the highest-key coordinates (ops/coords.compact_keys).
@@ -241,6 +271,90 @@ class AnalysisTransform(nn.Module):
         # Q at latent coords: q_latent lives on d8's coordinate set
         # already (shared plan) — row-aligned with y by construction
         # (/root/reference/model/transforms.py:123-125 needed a lookup).
+        return y, q_latent, k, overflow
+
+    def _tiled(self, x: SparseTensor, q: SparseTensor):
+        from ..ops import tiles as TL
+
+        caps = self.caps
+        cin = self.channels_in
+        bf = jnp.bfloat16
+
+        def split_ch(feats, csplit, ctot):
+            B, Nt, _ = feats.shape
+            f = feats.reshape(B, Nt, -1, ctot)
+            a = f[..., :csplit].reshape(B, Nt, -1)
+            b = f[..., csplit:].reshape(B, Nt, -1)
+            return a, b
+
+        def merge_ch(fa, fb, ca, cb):
+            B, Nt, _ = fa.shape
+            a = fa.reshape(B, Nt, -1, ca)
+            b = fb.reshape(B, Nt, -1, cb)
+            return jnp.concatenate([a, b], axis=-1).reshape(B, Nt, -1)
+
+        # One rasterization at stride 1 carrying [x | q] channels.
+        comb = x.with_feats(
+            jnp.concatenate([x.feats, q.feats], axis=-1).astype(bf)
+        )
+        grid1, f1 = TL.rasterize(comb, caps.cap(4))
+        nbr1 = TL.neighbor_rows(grid1.keys)
+        mask1 = grid1.mask & grid1.valid[:, :, None]
+        fx, fq = split_ch(f1, cin, cin + 2)
+
+        if self.source_condition:
+            qp = self.q_plus.grid(fx, nbr1, mask1)
+            fq = fq + qp
+
+        c = self.cond.pre.grid(fq, nbr1, mask1)       # cond features (2ch)
+        h = self.pre.grid(fx, nbr1, mask1)            # n1
+
+        n_widths = (self.n2, self.n3, self.n3)
+        downs_f = (self.down2, self.down4, self.down8)
+        sbs = (self.sb2, self.sb4, self.sb8)
+        tile_caps = (caps.cap(8), caps.cap(16), caps.cap(32))
+        cf = self.cond.n_features
+
+        grid = grid1
+        counts = []   # true point counts at strides [2, 4] (from masks)
+        overflow = grid1.count >= caps.cap(4)
+        for i in range(3):
+            packed_grid, packed = TL.downsample_pack(
+                grid, merge_ch(h, c, h.shape[-1] // TL.CELLS,
+                               c.shape[-1] // TL.CELLS),
+                tile_caps[i],
+            )
+            nbr = TL.neighbor_rows(packed_grid.keys)
+            mask = packed_grid.mask & packed_grid.valid[:, :, None]
+            # Per-(cell, parity)-block channel split: packed layout is
+            # CELLS x 8 q-blocks of (h_ch + c_ch) channels each.
+            prev = self.n1 if i == 0 else n_widths[i - 1]
+            hp, cp = split_ch(packed, prev, prev + cf[i])
+            h = downs_f[i].packed(hp, nbr, mask)
+            c = self.cond.downs[i].packed(cp, nbr, mask)
+            if self.condition_ablation:
+                bg = c
+            else:
+                bg = self.cond.predicts[i].grid(c, nbr, mask)
+            h = sbs[i].grid(h, nbr, mask, bg)
+            if i < 2:
+                counts.append(
+                    jnp.sum(mask.astype(jnp.int32), axis=(1, 2))
+                )
+            overflow = overflow | (packed_grid.count >= tile_caps[i])
+            grid = packed_grid
+
+        y_feats = self.post.grid(h, nbr, mask)
+
+        y = TL.extract_sparse(grid, y_feats, mask, caps.cap(8))
+        q_latent = TL.extract_sparse(grid, c, mask, caps.cap(8))
+        # Same grid + mask + canonical extraction order: row-aligned.
+        k = jnp.stack([counts[1], counts[0], x.count], axis=1)
+        overflow = overflow | (y.count >= caps.cap(8)) | (
+            x.count >= x.capacity
+        )
+        y = y.with_feats(y.feats.astype(jnp.float32))
+        q_latent = q_latent.with_feats(q_latent.feats.astype(jnp.float32))
         return y, q_latent, k, overflow
 
 
@@ -260,8 +374,34 @@ class SparseSynthesisTransform(nn.Module):
     n1: int = 128
     n2: int = 128
     n3: int = 64
+    c_in: int = 128
     source_condition: bool = True
     condition_ablation: bool = False
+
+    def setup(self):
+        n1, n2, n3 = self.n1, self.n2, self.n3
+        if self.source_condition:
+            self.src = ConvChain(c_in=self.c_in, channels=(n1 // 2, 2),
+                                 relus=(True, False))
+        self.pre = ConvChain(c_in=self.c_in, channels=(n1,), relus=(True,))
+        # Q feature head: conv(16) -> ReLU -> Dense(16) -> ReLU -> conv(2).
+        self.qf_a = ConvChain(c_in=2, channels=(16,), relus=(True,))
+        self.qf_dense = nn.Dense(16)
+        self.qf_b = ConvChain(c_in=16, channels=(2,), relus=(False,))
+        self.qp8 = QPredict(n1)
+        self.sb8 = ScaledBlock(n1)
+        self.up8 = GenerativeUp(n1, self.caps.cand(8), self.caps.cap(4),
+                                self.caps.tile_cap(8))
+        self.qp4 = QPredict(n1)
+        self.sb4 = ScaledBlock(n1)
+        self.up4 = GenerativeUp(n2, self.caps.cand(4), self.caps.cap(2),
+                                self.caps.tile_cap(4))
+        self.qp2 = QPredict(n2)
+        self.sb2 = ScaledBlock(n2)
+        self.up2 = GenerativeUp(n3, self.caps.cand(2), self.caps.cap(1),
+                                self.caps.tile_cap(2))
+        self.post = ConvChain(c_in=n3, channels=(n3, n3 // 2, self.c_out),
+                              relus=(True, True, False))
 
     def _level_stack(self, x: SparseTensor, qf: SparseTensor,
                      qp, sb):
@@ -309,7 +449,57 @@ class SparseSynthesisTransform(nn.Module):
         # Same coordinate set in canonical order -> rows align with x.
         return x.with_feats(x2.feats + residual), grid.count >= tile_cap
 
-    @nn.compact
+    # Decode runs the stages as SEPARATE jitted programs (codec_runtime)
+    # so per-program HBM peaks stay bounded at vox10 scale — the
+    # combined program OOMs a 16GB v5e chip. Training composes them in
+    # one jit (cube-scale buffers are small).
+
+    def stage_a(self, y: SparseTensor, q: SparseTensor, k: jax.Array,
+                extract_occ: bool = False):
+        """Pre-convs + stride-8 stack + generative up 8 -> 4."""
+        nbr8 = self_kernel_map(y)
+        if self.source_condition:
+            q = q.with_feats(q.feats + self.src(y, nbr8).feats)
+        x = self.pre(y, nbr8)
+        qf = self.qf_a(q, nbr8)
+        qf = qf.with_feats(nn.relu(self.qf_dense(qf.feats)))
+        qf = self.qf_b(qf, nbr8)
+
+        bg = self.qp8(qf, nbr8)
+        x = self.sb8(x, nbr8, bg)
+        x, occ4, qf, ov = self.up8(x, k[:, 0], extract_occ, qf)
+        return x, qf, occ4, ov
+
+    def stage_b(self, x: SparseTensor, qf: SparseTensor, k: jax.Array,
+                extract_occ: bool = False):
+        """Stride-4 FiLM stack + generative up 4 -> 2."""
+        x, ov_s = self._level_stack(x, qf, self.qp4, self.sb4)
+        x, occ2, qf, ov = self.up4(x, k[:, 1], extract_occ, qf)
+        return x, qf, occ2, ov | ov_s
+
+    def stage_c(self, x: SparseTensor, qf: SparseTensor, k: jax.Array,
+                extract_occ: bool = False):
+        """Stride-2 FiLM stack + generative up 2 -> 1."""
+        x, ov_s = self._level_stack(x, qf, self.qp2, self.sb2)
+        x, occ1, _, ov = self.up2(x, k[:, 2], extract_occ)
+        return x, occ1, ov | ov_s
+
+    def stage_d(self, x: SparseTensor):
+        """Post conv: n3 -> n3 -> n3//2 -> c_out at stride 1."""
+        from ..ops import tiles as TL
+
+        tile1 = self.caps.post_tile_cap(1)
+        if tile1 > 0:
+            grid, feats = TL.rasterize(x, tile1)
+            nbr_rows = TL.neighbor_rows(grid.keys)
+            mask = grid.mask & grid.valid[:, :, None]
+            out = self.post.grid(feats.astype(jnp.bfloat16), nbr_rows, mask)
+            ext = TL.extract_sparse(grid, out, mask, x.capacity)
+            return x.with_feats(ext.feats), grid.count >= tile1
+        nbr1 = self_kernel_map(x)
+        x = self.post(x, nbr1)
+        return x, jnp.zeros(x.batch_size, bool)
+
     def __call__(
         self,
         y: SparseTensor,
@@ -317,62 +507,12 @@ class SparseSynthesisTransform(nn.Module):
         k: jax.Array,
         gt: Optional[SparseTensor] = None,
     ):
-        from ..ops import tiles as TL
-
-        nbr8 = self_kernel_map(y)
-
-        if self.source_condition:
-            h = SparseConv(self.n1 // 2)(y, y, nbr8)
-            h = h.with_feats(nn.relu(h.feats))
-            h = SparseConv(2)(h, h, nbr8)
-            q = q.with_feats(q.feats + h.feats)
-
-        # Feature / condition pre-convs.
-        x = SparseConv(self.n1)(y, y, nbr8)
-        x = x.with_feats(nn.relu(x.feats))
-
-        qf = SparseConv(16)(q, q, nbr8)
-        qf = qf.with_feats(nn.relu(qf.feats))
-        qf = qf.with_feats(nn.relu(nn.Dense(16)(qf.feats)))
-        qf = SparseConv(2)(qf, qf, nbr8)
-
         extract_occ = gt is not None
-
-        # Stage 1: stride 8 -> 4 (stride-8 stack is small; sparse path).
-        bg = QPredict(self.n1)(qf, nbr8)
-        x = ScaledBlock(self.n1)(x, nbr8, bg)
-        x, occ4, qf, ov1 = GenerativeUp(
-            self.n1, self.caps.cand(8), self.caps.cap(4), self.caps.tile_cap(8)
-        )(x, k[:, 0], extract_occ, qf)
-
-        # Stage 2: stride 4 -> 2.
-        x, ov_s2 = self._level_stack(x, qf, QPredict(self.n1), ScaledBlock(self.n1))
-        x, occ2, qf, ov2 = GenerativeUp(
-            self.n2, self.caps.cand(4), self.caps.cap(2), self.caps.tile_cap(4)
-        )(x, k[:, 1], extract_occ, qf)
-
-        # Stage 3: stride 2 -> 1.
-        x, ov_s1 = self._level_stack(x, qf, QPredict(self.n2), ScaledBlock(self.n2))
-        x, occ1, _, ov3 = GenerativeUp(
-            self.n3, self.caps.cand(2), self.caps.cap(1), self.caps.tile_cap(2)
-        )(x, k[:, 2], extract_occ)
-        overflow = ov1 | ov2 | ov3 | ov_s1 | ov_s2
-
-        # Post conv: n3 -> n3 -> n3//2 -> c_out.
-        post = ConvChain(c_in=self.n3, channels=(self.n3, self.n3 // 2, self.c_out),
-                         relus=(True, True, False))
-        tile1 = self.caps.post_tile_cap(1)
-        if tile1 > 0:
-            grid, feats = TL.rasterize(x, tile1)
-            nbr_rows = TL.neighbor_rows(grid.keys)
-            mask = grid.mask & grid.valid[:, :, None]
-            out = post.grid(feats.astype(jnp.bfloat16), nbr_rows, mask)
-            ext = TL.extract_sparse(grid, out, mask, x.capacity)
-            x = x.with_feats(ext.feats)
-            overflow = overflow | (grid.count >= tile1)
-        else:
-            nbr1 = self_kernel_map(x)
-            x = post(x, nbr1)
+        x, qf, occ4, ov_a = self.stage_a(y, q, k, extract_occ)
+        x, qf, occ2, ov_b = self.stage_b(x, qf, k, extract_occ)
+        x, occ1, ov_c = self.stage_c(x, qf, k, extract_occ)
+        x, ov_d = self.stage_d(x)
+        overflow = ov_a | ov_b | ov_c | ov_d
 
         if gt is None:
             return x, overflow

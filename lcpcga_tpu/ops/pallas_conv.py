@@ -284,6 +284,9 @@ def tile_conv(
         scratch_shapes=[
             pltpu.VMEM((tb, size + 2, size + 2, size + 2, Cin), jnp.bfloat16),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )
 
@@ -298,6 +301,9 @@ def tile_conv(
     if n_chunks == 1:
         out = do_chunk(0)
     else:
-        out = jax.lax.map(do_chunk, jnp.arange(n_chunks))
-        out = jnp.moveaxis(out, 0, 1).reshape(B, n_chunks * chunk, -1)
+        # Unrolled python loop: lax.map/while around a pallas_call
+        # crashes the axon AOT compile helper (observed on v5e,
+        # 2026-08); sequential data dependence below keeps only one
+        # chunk's gather transient alive at a time.
+        out = jnp.concatenate([do_chunk(ci) for ci in range(n_chunks)], axis=1)
     return out[:, :Nt]

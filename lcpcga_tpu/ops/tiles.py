@@ -538,6 +538,159 @@ def dense_conv(
     return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
 
 
+def downsample_pack(
+    grid: TileGrid, feats: jax.Array, tile_capacity: int
+) -> Tuple[TileGrid, jax.Array]:
+    """Space-to-depth pack: stride-s tile grid -> stride-2s tile grid
+    with the 2^3 cell parities folded into channels.
+
+    feats: [B, Nt, T^3 * C] -> packed [B, Nt2, T^3 * 8C] where packed
+    cell c (stride 2s) holds the 8 stride-s cells 2c+q, q-major layout
+    [qx, qy, qz, C]. Occupancy mask of the new grid marks coarse cells
+    with >= 1 occupied fine cell — exactly the stride-2 downsampled
+    coordinate set, so a 3^3/stride-2 sparse conv becomes a 2^3-support
+    dense conv on the packed grid (pack_stride2_kernel) with no gather.
+
+    Replaces the gather-based strided convs of the analysis transform
+    (/root/reference/model/transforms.py:49-51 downsampling stages).
+    """
+    Cdim = feats.shape[-1] // CELLS
+    B, Nt = grid.keys.shape
+    tile_coords = C.unpack(grid.keys)
+    valid = grid.valid
+
+    def tiles_item(tc_i, valid_i):
+        keys = jnp.sort(C.pack_valid(tc_i // 2, valid_i))
+        keep = C.unique_mask_sorted(keys)
+        out_keys, _, count = C.compact_keys(keys, keep, tile_capacity)
+        return out_keys, count
+
+    keys2, count2 = jax.vmap(tiles_item)(tile_coords, valid)
+
+    # Old tile [4,4,4,C] -> [2,2,2 coarse, 8C] (q-major channel blocks).
+    f = feats.reshape(B, Nt, 2, 2, 2, 2, 2, 2, Cdim)  # cx qx cy qy cz qz
+    f = f.transpose(0, 1, 2, 4, 6, 3, 5, 7, 8).reshape(B, Nt, 8, 8 * Cdim)
+    m = grid.mask.reshape(B, Nt, 2, 2, 2, 2, 2, 2)
+    m = m.transpose(0, 1, 2, 4, 6, 3, 5, 7).reshape(B, Nt, 8, 8).any(-1)
+
+    # Each new tile gathers its 8 constituent old tiles (quadrants).
+    def assemble(keys2_i, old_keys_i, f_i, m_i, count2_i):
+        tc2 = C.unpack(keys2_i)
+        v2 = keys2_i != C.INVALID_KEY
+        fpad = jnp.concatenate([f_i, jnp.zeros_like(f_i[:1])], axis=0)
+        mpad = jnp.concatenate([m_i, jnp.zeros_like(m_i[:1])], axis=0)
+        quads_f = []
+        quads_m = []
+        for bx in (0, 1):
+            for by in (0, 1):
+                for bz in (0, 1):
+                    q = tc2 * 2 + jnp.asarray([bx, by, bz], jnp.int32)
+                    rows = C.lookup(old_keys_i, C.pack_valid(q, v2))
+                    quads_f.append(fpad[rows])  # [Nt2, 8, 8C]
+                    quads_m.append(mpad[rows])  # [Nt2, 8]
+        # [Nt2, 2(bx),2(by),2(bz), 2(cx),2(cy),2(cz), 8C] -> [Nt2, 4,4,4, 8C]
+        qf = jnp.stack(quads_f, axis=1).reshape(
+            tile_capacity, 2, 2, 2, 2, 2, 2, 8 * Cdim)
+        qf = qf.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+            tile_capacity, CELLS * 8 * Cdim)
+        qm = jnp.stack(quads_m, axis=1).reshape(
+            tile_capacity, 2, 2, 2, 2, 2, 2)
+        qm = qm.transpose(0, 1, 4, 2, 5, 3, 6).reshape(tile_capacity, CELLS)
+        return qf, qm
+
+    pf, pm = jax.vmap(assemble)(keys2, grid.keys, f, m, count2)
+    grid2 = TileGrid(keys=keys2, count=count2, mask=pm, stride=grid.stride * 2)
+    return grid2, pf
+
+
+def pack_stride2_kernel(kernel: jax.Array) -> jax.Array:
+    """[27, Cin, Cout] 3^3/stride-2 conv weights -> [8, 8*Cin, Cout]
+    2^3-support weights on the packed grid.
+
+    Per axis: packed-cell offset s in {-1, 0}, parity q in {0, 1} map to
+    the original tap o = 2s + q; (s=-1, q=0) -> o=-2 contributes zero.
+    Tap order matches dense_conv2 (s lexicographic, -1 first); channel
+    blocks are q-major (downsample_pack layout)."""
+    Cin, Cout = kernel.shape[1], kernel.shape[2]
+    w = jnp.zeros((8, 8 * Cin, Cout), kernel.dtype)
+    for i, sx in enumerate((-1, 0)):
+        for j, sy in enumerate((-1, 0)):
+            for k_, sz in enumerate((-1, 0)):
+                ti = (i * 2 + j) * 2 + k_
+                for qi, qx in enumerate((0, 1)):
+                    for qj, qy in enumerate((0, 1)):
+                        for qk, qz in enumerate((0, 1)):
+                            o = (2 * sx + qx, 2 * sy + qy, 2 * sz + qz)
+                            if not all(-1 <= v <= 1 for v in o):
+                                continue
+                            ki = ((o[0] + 1) * 3 + (o[1] + 1)) * 3 + (o[2] + 1)
+                            qblk = (qi * 2 + qj) * 2 + qk
+                            w = w.at[ti, qblk * Cin:(qblk + 1) * Cin].set(
+                                kernel[ki])
+    return w
+
+
+def dense_conv2(
+    feats: jax.Array,
+    nbr_rows: jax.Array,
+    kernel8: jax.Array,
+    bias: Optional[jax.Array],
+    compute_dtype=jnp.bfloat16,
+    mask: Optional[jax.Array] = None,
+    relu: bool = False,
+) -> jax.Array:
+    """2^3-support conv across tiles (offsets {-1,0}^3): the packed form
+    of a 3^3/stride-2 sparse conv (see pack_stride2_kernel).
+
+    feats: [B, Nt, T^3 * Cin] flat; kernel8: [8, Cin, Cout].
+    """
+    B, Nt, FC = feats.shape
+    Cin = kernel8.shape[1]
+    Cout = kernel8.shape[-1]
+    assert FC == CELLS * Cin, (FC, CELLS, Cin)
+    kern = kernel8.astype(compute_dtype)
+    x = feats.astype(compute_dtype)
+
+    chunk = min(CONV_TILE_CHUNK, Nt)
+    n_chunks = -(-Nt // chunk)
+    pad_tiles = n_chunks * chunk - Nt
+    xp = jnp.pad(x, ((0, 0), (0, pad_tiles), (0, 0)))
+    nbrp = jnp.pad(nbr_rows, ((0, 0), (0, 0), (0, pad_tiles)), constant_values=Nt)
+    maskp = None
+    if mask is not None:
+        maskp = jnp.pad(mask, ((0, 0), (0, pad_tiles), (0, 0)))
+    slabs = _extract_slabs(xp, TILE, Cin)
+
+    def do_chunk(ci):
+        start = ci * chunk
+        halo = _build_halo_slabs(xp, slabs, nbrp, start, chunk, TILE, Cin, B,
+                                 Nt, pad_tiles)
+        h = halo.reshape(B * chunk, TILE + 2, TILE + 2, TILE + 2, Cin)
+        acc = jnp.zeros((B * chunk, TILE, TILE, TILE, Cout), jnp.float32)
+        ti = 0
+        for sx in (0, 1):      # halo offset 1+s with s in {-1, 0}
+            for sy in (0, 1):
+                for sz in (0, 1):
+                    sl = h[:, sx:sx + TILE, sy:sy + TILE, sz:sz + TILE]
+                    acc = acc + jnp.einsum(
+                        "nxyzi,io->nxyzo", sl, kern[ti],
+                        preferred_element_type=jnp.float32,
+                    )
+                    ti += 1
+        out = acc.reshape(B, chunk, CELLS, Cout)
+        if bias is not None:
+            out = out + bias
+        if maskp is not None:
+            m = jax.lax.dynamic_slice(maskp, (0, start, 0), (B, chunk, CELLS))
+            out = out * m.astype(out.dtype)[..., None]
+        if relu:
+            out = jnp.maximum(out, 0)
+        return out.astype(feats.dtype).reshape(B, chunk, CELLS * Cout)
+
+    chunks = jax.lax.map(do_chunk, jnp.arange(n_chunks))
+    return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
+
+
 def apply_mask(grid: TileGrid, feats: jax.Array) -> jax.Array:
     """Zero features outside the candidate mask. feats [B, Nt, T^3 * C].
 

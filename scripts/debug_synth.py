@@ -29,11 +29,14 @@ def run(n_points):
     n = coords.shape[0]
     import dataclasses
 
-    caps = Capacities.for_points(int(n * 1.05))
+    if _os.environ.get("LCPCGA_FOR_CLOUD"):
+        caps = Capacities.for_cloud(coords, margin=1.2)
+    else:
+        caps = Capacities.for_points(int(n * 1.05))
     if _os.environ.get("LCPCGA_SAME_TILES"):
-        caps = dataclasses.replace(caps, same_tile_fraction=0.35)
+        caps = dataclasses.replace(caps, same_tile_fraction=1.3)
     if _os.environ.get("LCPCGA_POST_TILES"):
-        caps = dataclasses.replace(caps, post_tile_fraction=0.35)
+        caps = dataclasses.replace(caps, post_tile_fraction=1.3)
     log(f"caps {caps.caps} cand {[caps.cand(s) for s in (8,4,2)]}")
     model = ColorModel(caps=caps)
 
@@ -68,17 +71,44 @@ def run(n_points):
                   tx, tq, tq)
     log("params ready")
 
+    # Staged execution (mirrors codec_runtime decode).
     @jax.jit
-    def synth(params, y, q, k):
-        return model.apply(params, y, q, k, method=_CM.synthesis)[0]
+    def st_a(params, y, q, k):
+        return model.apply(params, y, q, k, method=_CM.synthesis_stage_a)
+
+    @jax.jit
+    def st_b(params, x, qf, k):
+        return model.apply(params, x, qf, k, method=_CM.synthesis_stage_b)
+
+    @jax.jit
+    def st_c(params, x, qf, k):
+        return model.apply(params, x, qf, k, method=_CM.synthesis_stage_c)
+
+    @jax.jit
+    def st_d(params, x):
+        return model.apply(params, x, method=_CM.synthesis_stage_d)
+
+    def synth(params, y, q, k, timing=False):
+        ts = [time.time()]
+        x, qf, _, ov_a = st_a(params, y, q, k)
+        jax.block_until_ready(x.feats); ts.append(time.time())
+        x, qf, _, ov_b = st_b(params, x, qf, k)
+        jax.block_until_ready(x.feats); ts.append(time.time())
+        x, _, ov_c = st_c(params, x, qf, k)
+        jax.block_until_ready(x.feats); ts.append(time.time())
+        x, ov_d = st_d(params, x)
+        jax.block_until_ready(x.feats); ts.append(time.time())
+        if timing:
+            names = ["a(8->4)", "b(4->2)", "c(2->1)", "d(post)"]
+            log("  " + "  ".join(f"{n}={ts[i+1]-ts[i]:.2f}s" for i, n in enumerate(names)))
+        ovs = [bool(v[0]) for v in (ov_a, ov_b, ov_c, ov_d)]
+        return x, ovs
 
     t0 = time.time()
-    out = synth(params, y, q, jnp.asarray(k))
-    jax.block_until_ready(out.feats)
-    log(f"synthesis ok: {time.time()-t0:.1f}s (compile+run) n_out={int(out.count[0])}")
+    out, ovs = synth(params, y, q, jnp.asarray(k))
+    log(f"synthesis ok: {time.time()-t0:.1f}s (compile+run) n_out={int(out.count[0])} ov={ovs}")
     t0 = time.time()
-    out = synth(params, y, q, jnp.asarray(k))
-    jax.block_until_ready(out.feats)
+    out, _ = synth(params, y, q, jnp.asarray(k), timing=True)
     log(f"synthesis steady: {time.time()-t0:.2f}s")
 
 

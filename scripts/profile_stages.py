@@ -37,9 +37,13 @@ def main(n_points=780_000):
     from lcpcga_tpu import ops
     from lcpcga_tpu.ops import coords as C
 
+    import dataclasses
+
     coords, colors = surface_cloud(n_points, resolution=1024, seed=0)
     n = coords.shape[0]
-    caps = Capacities.for_points(int(n * 1.05))
+    caps = dataclasses.replace(
+        Capacities.for_cloud(coords, margin=1.2), same_tile_fraction=1.3
+    )
     model = ColorModel(caps=caps)
 
     cap1 = caps.cap(1)

@@ -125,7 +125,7 @@ def test_synthesis_tiled_matches_sparse():
     caps_tiled = Capacities(caps=(768, 768, 512, 256, 256, 256),
                             cand_factor=27, tile_fraction=2.0,
                             same_tile_fraction=2.0, post_tile_fraction=2.0)
-    kwargs = dict(c_out=3, n1=8, n2=8, n3=8)
+    kwargs = dict(c_out=3, n1=8, n2=8, n3=8, c_in=8)
     m_sparse = SparseSynthesisTransform(caps=caps_sparse, **kwargs)
     m_tiled = SparseSynthesisTransform(caps=caps_tiled, **kwargs)
     params = m_sparse.init(jax.random.PRNGKey(0), st, qf, k)
