@@ -64,7 +64,9 @@ def main():
         {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x, q, lam
     )
 
-    codec = PointCloudCodec(model, params)
+    # Random weights spread top-k selections wider than trained ones;
+    # tile-grid overflows are timing-neutral here (see strict_overflow).
+    codec = PointCloudCodec(model, params, strict_overflow=False)
     codec.update()
 
     # Warmup (compile).

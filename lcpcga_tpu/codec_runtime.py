@@ -92,11 +92,17 @@ class PointCloudCodec:
     goes through the parallel module instead.
     """
 
-    def __init__(self, model: ColorModel, params, depth: int = C.COORD_BITS):
+    def __init__(self, model: ColorModel, params, depth: int = C.COORD_BITS,
+                 strict_overflow: bool = True):
         self.model = model
         self.params = params
         self.caps = model.caps
         self.depth = depth
+        # strict_overflow=False downgrades capacity-overflow errors to
+        # warnings — ONLY for timing benchmarks with random weights,
+        # whose top-k selections are spread wider than any trained
+        # model's and can overflow tile grids sized for real surfaces.
+        self.strict_overflow = strict_overflow
         self.scale_table = default_scale_table()
         self.tables_y = None
         self.tables_z = None
@@ -104,9 +110,39 @@ class PointCloudCodec:
 
         m = model
 
-        @jax.jit
-        def analysis_fn(params, x, q):
-            return m.apply(params, x, q, method=_CM.analysis)
+        if model.caps.tile_fraction > 0:
+            # Tiled analysis as per-level jitted programs (HBM bounding,
+            # mirroring the staged synthesis below).
+            @jax.jit
+            def ga0_fn(params, x, q):
+                return m.apply(params, x, q, method=_CM.analysis_stage0)
+
+            ga_level_fns = [
+                jax.jit(lambda params, grid, feats, _meth=meth:
+                        m.apply(params, grid, feats, method=_meth))
+                for meth in (_CM.analysis_level0, _CM.analysis_level1,
+                             _CM.analysis_level2)
+            ]
+
+            @jax.jit
+            def ga_fin_fn(params, grid, feats):
+                return m.apply(params, grid, feats, method=_CM.analysis_finish)
+
+            def analysis_fn(params, x, q):
+                grid, feats, ov = ga0_fn(params, x, q)
+                counts = []
+                for i in range(3):
+                    grid, feats, cnt, ovi = ga_level_fns[i](params, grid, feats)
+                    if i < 2:
+                        counts.append(cnt)
+                    ov = ov | ovi
+                y, q_latent, ovf = ga_fin_fn(params, grid, feats)
+                k = jnp.stack([counts[1], counts[0], x.count], axis=1)
+                return y, q_latent, k, ov | ovf
+        else:
+            @jax.jit
+            def analysis_fn(params, x, q):
+                return m.apply(params, x, q, method=_CM.analysis)
 
         @jax.jit
         def encode_z_fn(params, y):
@@ -244,12 +280,17 @@ class PointCloudCodec:
         if bool(np.asarray(ov_a)[0]) or bool(np.asarray(ov_z)[0]) or int(
             y.count[0]
         ) >= self.caps.cap(LATENT_STRIDE):
-            raise RuntimeError(
+            msg = (
                 "capacity overflow during encode: a pyramid level filled its "
                 f"static buffer (caps={self.caps.caps}). Re-build the codec "
                 "with a larger capacity profile (Capacities.for_points / "
                 "for_cloud with more margin)."
             )
+            if self.strict_overflow:
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg)
 
         # Host: z stream.
         n_z = int(z_count_dev[0])
@@ -366,11 +407,16 @@ class PointCloudCodec:
         k = jnp.asarray([stream.k], jnp.int32)
         x_hat, ov_s = self._synthesis(self.params, y_hat, q_hat, k)
         if bool(np.asarray(ov_s)[0]):
-            raise RuntimeError(
+            msg = (
                 "capacity overflow during decode: a candidate/tile buffer "
                 f"filled up (caps={self.caps.caps}) — the reconstruction "
                 "would silently drop points. Decode with a larger profile."
             )
+            if self.strict_overflow:
+                raise RuntimeError(msg)
+            import warnings
+
+            warnings.warn(msg)
 
         n_out = int(x_hat.count[0])
         out_coords = np.asarray(x_hat.coords[0, :n_out])
@@ -384,6 +430,172 @@ class PointCloudCodec:
             }
             return (out_coords, out_colors), debug
         return out_coords, out_colors
+
+    # -- batched multi-frame encode/decode (SURVEY §2.3: eval-side data
+    #    parallelism — N frames through ONE batched device sweep, host
+    #    loop only for the per-item rANS/octree streams) --
+
+    def _shard(self, tree, mesh):
+        if mesh is None:
+            return tree
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        def put(leaf):
+            spec = PartitionSpec("data", *([None] * (leaf.ndim - 1)))
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        return jax.tree_util.tree_map(put, tree)
+
+    def compress_batch(self, frames, qs, mesh=None):
+        """frames: [(coords, colors), ...] sharing this codec's capacity
+        profile; qs: one (q_g, q_a) tuple or a list per frame;
+        mesh: optional 1-axis ("data") jax Mesh — the batch axis shards
+        across it (B must be divisible by mesh size).
+
+        Returns a list of Bitstream. The analysis / hyper / parameter
+        sweeps run ONCE over the whole batch.
+        """
+        self._require_tables()
+        B = len(frames)
+        cap = self.caps.cap(1)
+        if not isinstance(qs, list):
+            qs = [qs] * B
+        pc = np.zeros((B, cap, 3), np.int32)
+        pf = np.zeros((B, cap, 3), np.float32)
+        pv = np.zeros((B, cap), bool)
+        for b, (coords, colors) in enumerate(frames):
+            n = coords.shape[0]
+            if n > cap:
+                raise ValueError(f"frame {b} has {n} points, capacity {cap}")
+            pc[b, :n], pf[b, :n], pv[b, :n] = coords, colors, True
+        x = from_coords(jnp.asarray(pc), jnp.asarray(pf), jnp.asarray(pv))
+        qf = jnp.stack(
+            [jnp.full((cap,), qg, jnp.float32) for (qg, _qa) in qs]
+        )[..., None]
+        qa = jnp.stack(
+            [jnp.full((cap,), qa_, jnp.float32) for (_qg, qa_) in qs]
+        )[..., None]
+        q_st = x.with_feats(
+            jnp.where(x.valid[..., None], jnp.concatenate([qf, qa], -1), 0.0)
+        )
+        x = self._shard(x, mesh)
+        q_st = self._shard(q_st, mesh)
+
+        y, _q_latent, k, ov_a = self._analysis(self.params, x, q_st)
+        z_vals_dev, z_count_dev, ov_z = self._encode_z(self.params, y)
+        if self.strict_overflow and (
+            bool(np.asarray(ov_a).any()) or bool(np.asarray(ov_z).any())
+        ):
+            raise RuntimeError(
+                f"capacity overflow during batched encode (caps={self.caps.caps})"
+            )
+
+        # Host: per-item z streams + integer-exact ẑ batch.
+        z_counts = np.asarray(z_count_dev)
+        z_np = np.asarray(z_vals_dev)
+        ch = z_np.shape[-1]
+        capz = self.caps.cap(Z_STRIDE)
+        z_payloads = []
+        z_hat_pad = np.zeros((B, capz, ch), np.float32)
+        for b in range(B):
+            n_z = int(z_counts[b])
+            vals = z_np[b, :n_z].astype(np.int32)
+            z_payloads.append(
+                rans_encode(vals.ravel(), _channel_indexes(n_z, ch), self.tables_z)
+            )
+            z_hat_pad[b, :n_z] = vals.astype(np.float32) + self.z_medians[None, :]
+
+        y_coords = self._coords_st(y.keys, y.count, LATENT_STRIDE)
+        scales, means, indexes, q_hat = self._decode_params(
+            self.params, y_coords, self._shard(jnp.asarray(z_hat_pad), mesh)
+        )
+
+        means_np = np.asarray(means, np.float32)
+        idx_np = np.asarray(indexes, np.int32)
+        y_np = np.asarray(y.feats, np.float32)
+        y_counts = np.asarray(y.count)
+        k_np = np.asarray(k)
+        streams = []
+        for b in range(B):
+            n_y = int(y_counts[b])
+            v_y = np.round(y_np[b, :n_y] - means_np[b, :n_y]).astype(np.int32)
+            y_payload = rans_encode(
+                v_y.ravel(), idx_np[b, :n_y].ravel(), self.tables_y
+            )
+            y_xyz = np.asarray(C.unpack(y.keys[b, :n_y]))
+            points_payload = octree_encode(y_xyz // LATENT_STRIDE, self.depth - 3)
+            streams.append(Bitstream(
+                z_length=int(z_counts[b]),
+                k=[int(v) for v in k_np[b]],
+                points_payload=points_payload,
+                y_payload=y_payload,
+                z_payload=z_payloads[b],
+                n_points=int(frames[b][0].shape[0]),
+                depth=self.depth,
+                caps=tuple(self.caps.caps),
+                cand_factor=int(self.caps.cand_factor),
+                tile_pct=int(round(self.caps.tile_fraction * 100)),
+                same_tile_pct=int(round(self.caps.same_tile_fraction * 100)),
+                post_tile_pct=int(round(self.caps.post_tile_fraction * 100)),
+            ))
+        return streams
+
+    def decompress_batch(self, streams, mesh=None):
+        """Inverse of compress_batch: decode N streams with ONE batched
+        parameter sweep + synthesis. Returns [(coords, colors), ...]."""
+        self._require_tables()
+        B = len(streams)
+        cap8 = self.caps.cap(LATENT_STRIDE)
+        capz = self.caps.cap(Z_STRIDE)
+        ch = self.z_medians.shape[0]
+        pc = np.zeros((B, cap8, 3), np.int32)
+        pv = np.zeros((B, cap8), bool)
+        z_hat_pad = np.zeros((B, capz, ch), np.float32)
+        n_ys = []
+        for b, stream in enumerate(streams):
+            grid = octree_decode(stream.points_payload, self.depth - 3, cap8)
+            n_y = grid.shape[0]
+            n_ys.append(n_y)
+            pc[b, :n_y] = grid * LATENT_STRIDE
+            pv[b, :n_y] = True
+            n_z = stream.z_length
+            z_vals = rans_decode(
+                stream.z_payload, _channel_indexes(n_z, ch), self.tables_z
+            ).reshape(n_z, ch)
+            z_hat_pad[b, :n_z] = z_vals.astype(np.float32) + self.z_medians[None, :]
+        y_coords = from_coords(
+            jnp.asarray(pc), jnp.zeros((B, cap8, 0), jnp.float32),
+            jnp.asarray(pv), stride=LATENT_STRIDE,
+        )
+        y_coords = self._shard(y_coords, mesh)
+        scales, means, indexes, q_hat = self._decode_params(
+            self.params, y_coords, self._shard(jnp.asarray(z_hat_pad), mesh)
+        )
+        means_np = np.asarray(means, np.float32)
+        idx_np = np.asarray(indexes, np.int32)
+        cb = means_np.shape[-1]
+        y_hat_pad = np.zeros((B, cap8, cb), np.float32)
+        for b, stream in enumerate(streams):
+            n_y = n_ys[b]
+            v_y = rans_decode(
+                stream.y_payload, idx_np[b, :n_y].ravel(), self.tables_y
+            ).reshape(n_y, cb)
+            y_hat_pad[b, :n_y] = v_y.astype(np.float32) + means_np[b, :n_y]
+        y_hat = y_coords.with_feats(self._shard(jnp.asarray(y_hat_pad), mesh))
+        k = jnp.asarray([s.k for s in streams], jnp.int32)
+        x_hat, ov_s = self._synthesis(self.params, y_hat, q_hat, k)
+        if self.strict_overflow and bool(np.asarray(ov_s).any()):
+            raise RuntimeError(
+                f"capacity overflow during batched decode (caps={self.caps.caps})"
+            )
+        out = []
+        counts = np.asarray(x_hat.count)
+        coords_np = np.asarray(x_hat.coords)
+        colors_np = np.asarray(x_hat.feats)
+        for b in range(B):
+            n = int(counts[b])
+            out.append((coords_np[b, :n], colors_np[b, :n]))
+        return out
 
     # -- timing harness (/root/reference/utils.py:418-472) --
 

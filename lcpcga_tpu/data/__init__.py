@@ -1,4 +1,5 @@
 from .qmap import QMap
-from .synthetic import batch_from_clouds, surface_cloud
+from .synthetic import batch_from_clouds, body_cloud, surface_cloud, textured_colors
 
-__all__ = ["QMap", "batch_from_clouds", "surface_cloud"]
+__all__ = ["QMap", "batch_from_clouds", "body_cloud", "surface_cloud",
+           "textured_colors"]

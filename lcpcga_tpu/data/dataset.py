@@ -201,6 +201,42 @@ class SyntheticCubeDataset:
         return s
 
 
+class SyntheticBodyDataset:
+    """Training cubes sliced from full synthetic vox10 bodies — the
+    hermetic mirror of the reference's pipeline (UVG-VPC frames ->
+    128^3 cubes -> min_points filter,
+    /root/reference/data/dataloader.py:79-163,206-259). Bodies carry
+    texture-like colors (data/synthetic.textured_colors)."""
+
+    def __init__(self, num_frames: int = 10, points_per_frame: int = 600_000,
+                 cube_size: int = 128, min_points: int = 300, seed: int = 0,
+                 transform=None):
+        from .synthetic import body_cloud
+
+        self.cube_size = cube_size
+        self.transform = transform
+        self.samples = []
+        for f in range(num_frames):
+            coords, colors = body_cloud(points_per_frame, resolution=1024,
+                                        seed=seed + 1000 * f)
+            for cube in slice_into_cubes(coords, colors, cube_size):
+                if cube["points"].shape[0] < min_points:
+                    continue
+                self.samples.append(
+                    {"points": cube["points"], "colors": cube["colors"],
+                     "sequence": f"synthetic_{f}", "frame": f}
+                )
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, idx):
+        s = dict(self.samples[idx])
+        if self.transform is not None:
+            s = self.transform(s, np.random.default_rng(idx))
+        return s
+
+
 def collate_padded(samples, capacity: int):
     """Pad a list of samples into [B, capacity, ...] arrays — the
     TPU-native ``sparse_collate``/custom_collate_fn

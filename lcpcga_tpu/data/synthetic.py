@@ -59,6 +59,55 @@ def surface_cloud(
     return coords.astype(np.int32), colors.astype(np.float32)
 
 
+def textured_colors(coords: np.ndarray, resolution: int, rng) -> np.ndarray:
+    """Texture-like colors: smooth base + multi-octave harmonics +
+    random soft patches. Real scans (8iVFB bodies) carry clothing
+    texture and skin gradients; pure smooth harmonics make color coding
+    trivially easy, which would overstate RD performance."""
+    x = coords.astype(np.float32) / resolution
+    base = 0.5 + 0.25 * np.stack(
+        [
+            np.sin(2 * np.pi * (x[:, 0] + 0.3 * x[:, 1])),
+            np.cos(2 * np.pi * (x[:, 1] + 0.5 * x[:, 2])),
+            np.sin(2 * np.pi * (x[:, 2] + 0.7 * x[:, 0])),
+        ],
+        axis=1,
+    )
+    # Multi-octave directional harmonics (value-noise-like detail).
+    detail = np.zeros_like(base)
+    for octave in range(4):
+        freq = 4.0 * (2.0**octave)
+        amp = 0.25 / (1.6**octave)
+        for c in range(3):
+            d = rng.standard_normal(3)
+            d /= np.linalg.norm(d)
+            phase = rng.uniform(0, 2 * np.pi)
+            detail[:, c] += amp * np.sin(freq * 2 * np.pi * (x @ d) + phase)
+    # Soft color patches (clothing-panel-like regions).
+    patches = np.zeros_like(base)
+    for _ in range(6):
+        center = rng.random(3)
+        r = rng.uniform(0.08, 0.25)
+        tint = rng.uniform(-0.35, 0.35, 3)
+        w = np.exp(-((x - center) ** 2).sum(axis=1) / (2 * r * r))
+        patches += w[:, None] * tint[None, :]
+    return np.clip(base + detail + patches, 0.0, 1.0).astype(np.float32)
+
+
+def body_cloud(
+    n_points: int,
+    resolution: int = 1024,
+    seed: int = 0,
+):
+    """A textured synthetic vox10 'body': deformed-sphere geometry with
+    texture-like colors (see textured_colors). Stand-in for an
+    8iVFB/UVG-VPC frame in hermetic environments."""
+    rng = np.random.default_rng(seed)
+    coords, _ = surface_cloud(n_points, resolution=resolution, seed=seed,
+                              n_blobs=8)
+    return coords, textured_colors(coords, resolution, rng)
+
+
 def batch_from_clouds(clouds, capacity: int):
     """Pack [(coords, colors), ...] into padded arrays for ops.from_coords."""
     B = len(clouds)

@@ -130,6 +130,23 @@ class ColorModel(nn.Module):
     def analysis(self, x: SparseTensor, q: SparseTensor):
         return self.g_a(self.pad_occupancy(x), q)
 
+    # Tiled analysis stages (per-level jitted programs at decode scale —
+    # the combined vox10 analysis program exceeds 16GB HBM).
+    def analysis_stage0(self, x: SparseTensor, q: SparseTensor):
+        return self.g_a.ga_stage0(self.pad_occupancy(x), q)
+
+    def analysis_level0(self, grid, feats):
+        return self.g_a.ga_level(grid, feats, 0)
+
+    def analysis_level1(self, grid, feats):
+        return self.g_a.ga_level(grid, feats, 1)
+
+    def analysis_level2(self, grid, feats):
+        return self.g_a.ga_level(grid, feats, 2)
+
+    def analysis_finish(self, grid, feats):
+        return self.g_a.ga_finish(grid, feats)
+
     def entropy_encode_z(self, y: SparseTensor):
         return self.entropy_model.encode_z(y)
 

@@ -273,89 +273,105 @@ class AnalysisTransform(nn.Module):
         # (/root/reference/model/transforms.py:123-125 needed a lookup).
         return y, q_latent, k, overflow
 
-    def _tiled(self, x: SparseTensor, q: SparseTensor):
+    # Tiled path, decomposed into per-level stage methods so the codec
+    # runtime can run each as a SEPARATE jitted program (the combined
+    # vox10 analysis program exceeds 16GB HBM; per-level peaks fit).
+
+    @staticmethod
+    def _split_ch(feats, csplit, ctot):
+        B, Nt, _ = feats.shape
+        f = feats.reshape(B, Nt, -1, ctot)
+        a = f[..., :csplit].reshape(B, Nt, -1)
+        b = f[..., csplit:].reshape(B, Nt, -1)
+        return a, b
+
+    @staticmethod
+    def _merge_ch(fa, fb):
         from ..ops import tiles as TL
 
-        caps = self.caps
+        B, Nt, _ = fa.shape
+        a = fa.reshape(B, Nt, TL.CELLS, -1)
+        b = fb.reshape(B, Nt, TL.CELLS, -1)
+        return jnp.concatenate([a, b], axis=-1).reshape(B, Nt, -1)
+
+    def ga_stage0(self, x: SparseTensor, q: SparseTensor):
+        """Stride-1 work: rasterize [x|q], source conditioning, pre
+        convs. Returns (grid1, merged h|c feats, overflow)."""
+        from ..ops import tiles as TL
+
         cin = self.channels_in
-        bf = jnp.bfloat16
-
-        def split_ch(feats, csplit, ctot):
-            B, Nt, _ = feats.shape
-            f = feats.reshape(B, Nt, -1, ctot)
-            a = f[..., :csplit].reshape(B, Nt, -1)
-            b = f[..., csplit:].reshape(B, Nt, -1)
-            return a, b
-
-        def merge_ch(fa, fb, ca, cb):
-            B, Nt, _ = fa.shape
-            a = fa.reshape(B, Nt, -1, ca)
-            b = fb.reshape(B, Nt, -1, cb)
-            return jnp.concatenate([a, b], axis=-1).reshape(B, Nt, -1)
-
-        # One rasterization at stride 1 carrying [x | q] channels.
         comb = x.with_feats(
-            jnp.concatenate([x.feats, q.feats], axis=-1).astype(bf)
+            jnp.concatenate([x.feats, q.feats], axis=-1).astype(jnp.bfloat16)
         )
-        grid1, f1 = TL.rasterize(comb, caps.cap(4))
+        grid1, f1 = TL.rasterize(comb, self.caps.cap(4))
         nbr1 = TL.neighbor_rows(grid1.keys)
         mask1 = grid1.mask & grid1.valid[:, :, None]
-        fx, fq = split_ch(f1, cin, cin + 2)
-
+        fx, fq = self._split_ch(f1, cin, cin + 2)
         if self.source_condition:
-            qp = self.q_plus.grid(fx, nbr1, mask1)
-            fq = fq + qp
-
+            fq = fq + self.q_plus.grid(fx, nbr1, mask1)
         c = self.cond.pre.grid(fq, nbr1, mask1)       # cond features (2ch)
         h = self.pre.grid(fx, nbr1, mask1)            # n1
+        overflow = (grid1.count >= self.caps.cap(4)) | (
+            x.count >= x.capacity
+        )
+        return grid1, self._merge_ch(h, c), overflow
+
+    def ga_level(self, grid, feats, i: int):
+        """Pack to the next stride + down convs + FiLM stack at level
+        i in {0, 1, 2}. Returns (grid2, merged h|c, cell count, ov)."""
+        from ..ops import tiles as TL
 
         n_widths = (self.n2, self.n3, self.n3)
         downs_f = (self.down2, self.down4, self.down8)
         sbs = (self.sb2, self.sb4, self.sb8)
-        tile_caps = (caps.cap(8), caps.cap(16), caps.cap(32))
+        tile_caps = (self.caps.cap(8), self.caps.cap(16), self.caps.cap(32))
         cf = self.cond.n_features
 
-        grid = grid1
-        counts = []   # true point counts at strides [2, 4] (from masks)
-        overflow = grid1.count >= caps.cap(4)
-        for i in range(3):
-            packed_grid, packed = TL.downsample_pack(
-                grid, merge_ch(h, c, h.shape[-1] // TL.CELLS,
-                               c.shape[-1] // TL.CELLS),
-                tile_caps[i],
-            )
-            nbr = TL.neighbor_rows(packed_grid.keys)
-            mask = packed_grid.mask & packed_grid.valid[:, :, None]
-            # Per-(cell, parity)-block channel split: packed layout is
-            # CELLS x 8 q-blocks of (h_ch + c_ch) channels each.
-            prev = self.n1 if i == 0 else n_widths[i - 1]
-            hp, cp = split_ch(packed, prev, prev + cf[i])
-            h = downs_f[i].packed(hp, nbr, mask)
-            c = self.cond.downs[i].packed(cp, nbr, mask)
-            if self.condition_ablation:
-                bg = c
-            else:
-                bg = self.cond.predicts[i].grid(c, nbr, mask)
-            h = sbs[i].grid(h, nbr, mask, bg)
-            if i < 2:
-                counts.append(
-                    jnp.sum(mask.astype(jnp.int32), axis=(1, 2))
-                )
-            overflow = overflow | (packed_grid.count >= tile_caps[i])
-            grid = packed_grid
+        packed_grid, packed = TL.downsample_pack(grid, feats, tile_caps[i])
+        nbr = TL.neighbor_rows(packed_grid.keys)
+        mask = packed_grid.mask & packed_grid.valid[:, :, None]
+        # Per-(cell, parity)-block channel split: packed layout is
+        # CELLS x 8 q-blocks of (h_ch + c_ch) channels each.
+        prev = self.n1 if i == 0 else n_widths[i - 1]
+        hp, cp = self._split_ch(packed, prev, prev + cf[i])
+        h = downs_f[i].packed(hp, nbr, mask)
+        c = self.cond.downs[i].packed(cp, nbr, mask)
+        if self.condition_ablation:
+            bg = c
+        else:
+            bg = self.cond.predicts[i].grid(c, nbr, mask)
+        h = sbs[i].grid(h, nbr, mask, bg)
+        count = jnp.sum(mask.astype(jnp.int32), axis=(1, 2))
+        ov = packed_grid.count >= tile_caps[i]
+        return packed_grid, self._merge_ch(h, c), count, ov
 
+    def ga_finish(self, grid, feats):
+        """Final conv + extraction to canonical rows at stride 8.
+        Returns (y, q_latent, overflow)."""
+        from ..ops import tiles as TL
+
+        nbr = TL.neighbor_rows(grid.keys)
+        mask = grid.mask & grid.valid[:, :, None]
+        h, c = self._split_ch(feats, self.n3, self.n3 + self.cond.n_features[3])
         y_feats = self.post.grid(h, nbr, mask)
-
-        y = TL.extract_sparse(grid, y_feats, mask, caps.cap(8))
-        q_latent = TL.extract_sparse(grid, c, mask, caps.cap(8))
+        y = TL.extract_sparse(grid, y_feats, mask, self.caps.cap(8))
+        q_latent = TL.extract_sparse(grid, c, mask, self.caps.cap(8))
         # Same grid + mask + canonical extraction order: row-aligned.
-        k = jnp.stack([counts[1], counts[0], x.count], axis=1)
-        overflow = overflow | (y.count >= caps.cap(8)) | (
-            x.count >= x.capacity
-        )
         y = y.with_feats(y.feats.astype(jnp.float32))
         q_latent = q_latent.with_feats(q_latent.feats.astype(jnp.float32))
-        return y, q_latent, k, overflow
+        return y, q_latent, y.count >= self.caps.cap(8)
+
+    def _tiled(self, x: SparseTensor, q: SparseTensor):
+        grid, feats, overflow = self.ga_stage0(x, q)
+        counts = []   # true point counts at strides [2, 4]
+        for i in range(3):
+            grid, feats, count, ov = self.ga_level(grid, feats, i)
+            if i < 2:
+                counts.append(count)
+            overflow = overflow | ov
+        y, q_latent, ov = self.ga_finish(grid, feats)
+        k = jnp.stack([counts[1], counts[0], x.count], axis=1)
+        return y, q_latent, k, overflow | ov
 
 
 class SparseSynthesisTransform(nn.Module):

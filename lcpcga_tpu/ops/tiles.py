@@ -574,31 +574,46 @@ def downsample_pack(
     m = m.transpose(0, 1, 2, 4, 6, 3, 5, 7).reshape(B, Nt, 8, 8).any(-1)
 
     # Each new tile gathers its 8 constituent old tiles (quadrants).
-    def assemble(keys2_i, old_keys_i, f_i, m_i, count2_i):
-        tc2 = C.unpack(keys2_i)
-        v2 = keys2_i != C.INVALID_KEY
-        fpad = jnp.concatenate([f_i, jnp.zeros_like(f_i[:1])], axis=0)
-        mpad = jnp.concatenate([m_i, jnp.zeros_like(m_i[:1])], axis=0)
-        quads_f = []
-        quads_m = []
-        for bx in (0, 1):
-            for by in (0, 1):
-                for bz in (0, 1):
-                    q = tc2 * 2 + jnp.asarray([bx, by, bz], jnp.int32)
-                    rows = C.lookup(old_keys_i, C.pack_valid(q, v2))
-                    quads_f.append(fpad[rows])  # [Nt2, 8, 8C]
-                    quads_m.append(mpad[rows])  # [Nt2, 8]
-        # [Nt2, 2(bx),2(by),2(bz), 2(cx),2(cy),2(cz), 8C] -> [Nt2, 4,4,4, 8C]
-        qf = jnp.stack(quads_f, axis=1).reshape(
-            tile_capacity, 2, 2, 2, 2, 2, 2, 8 * Cdim)
-        qf = qf.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
-            tile_capacity, CELLS * 8 * Cdim)
-        qm = jnp.stack(quads_m, axis=1).reshape(
-            tile_capacity, 2, 2, 2, 2, 2, 2)
-        qm = qm.transpose(0, 1, 4, 2, 5, 3, 6).reshape(tile_capacity, CELLS)
-        return qf, qm
+    # Chunked over output tiles: the assembled packed array is ~2-5GB at
+    # vox10 scale and the stack+interleave transients would double it.
+    CHUNK = min(8192, tile_capacity)
+    n_chunks = -(-tile_capacity // CHUNK)
+    pad2 = n_chunks * CHUNK - tile_capacity
+    keys2p = jnp.pad(keys2, ((0, 0), (0, pad2)), constant_values=C.INVALID_KEY)
 
-    pf, pm = jax.vmap(assemble)(keys2, grid.keys, f, m, count2)
+    def assemble(keys2_i, old_keys_i, f_i, m_i):
+        n_old = f_i.shape[0]
+
+        def chunk(kc):  # [CHUNK] packed tile keys
+            tc2 = C.unpack(kc)
+            v2 = kc != C.INVALID_KEY
+            quads_f = []
+            quads_m = []
+            for bx in (0, 1):
+                for by in (0, 1):
+                    for bz in (0, 1):
+                        q = tc2 * 2 + jnp.asarray([bx, by, bz], jnp.int32)
+                        rows = C.lookup(old_keys_i, C.pack_valid(q, v2))
+                        hit = (rows < n_old)
+                        safe = jnp.minimum(rows, n_old - 1)
+                        gf = f_i[safe] * hit[:, None, None].astype(f_i.dtype)
+                        gm = m_i[safe] & hit[:, None]
+                        quads_f.append(gf)  # [CHUNK, 8, 8C]
+                        quads_m.append(gm)  # [CHUNK, 8]
+            qf = jnp.stack(quads_f, axis=1).reshape(
+                CHUNK, 2, 2, 2, 2, 2, 2, 8 * Cdim)
+            qf = qf.transpose(0, 1, 4, 2, 5, 3, 6, 7).reshape(
+                CHUNK, CELLS * 8 * Cdim)
+            qm = jnp.stack(quads_m, axis=1).reshape(
+                CHUNK, 2, 2, 2, 2, 2, 2)
+            qm = qm.transpose(0, 1, 4, 2, 5, 3, 6).reshape(CHUNK, CELLS)
+            return qf, qm
+
+        qf, qm = jax.lax.map(chunk, keys2_i.reshape(n_chunks, CHUNK))
+        return (qf.reshape(n_chunks * CHUNK, -1)[:tile_capacity],
+                qm.reshape(n_chunks * CHUNK, -1)[:tile_capacity])
+
+    pf, pm = jax.vmap(assemble)(keys2p, grid.keys, f, m)
     grid2 = TileGrid(keys=keys2, count=count2, mask=pm, stride=grid.stride * 2)
     return grid2, pf
 
@@ -630,6 +645,9 @@ def pack_stride2_kernel(kernel: jax.Array) -> jax.Array:
     return w
 
 
+_LOW_DIRS = [d for d in _DIRS if all(v <= 0 for v in d)]  # 7 low-corner dirs
+
+
 def dense_conv2(
     feats: jax.Array,
     nbr_rows: jax.Array,
@@ -643,6 +661,9 @@ def dense_conv2(
     of a 3^3/stride-2 sparse conv (see pack_stride2_kernel).
 
     feats: [B, Nt, T^3 * Cin] flat; kernel8: [8, Cin, Cout].
+    Only the LOW-side halo exists (7 neighbor directions, 3 face
+    arrays, (T+1)^3 halo) — the packed inputs are channel-heavy
+    (8x the pre-pack width), so halving slab memory matters at vox10.
     """
     B, Nt, FC = feats.shape
     Cin = kernel8.shape[1]
@@ -659,13 +680,53 @@ def dense_conv2(
     maskp = None
     if mask is not None:
         maskp = jnp.pad(mask, ((0, 0), (0, pad_tiles), (0, 0)))
-    slabs = _extract_slabs(xp, TILE, Cin)
+    # Low faces only: directions with sign -1 on their priority axis.
+    xs = xp.reshape(B, Nt + pad_tiles, TILE, TILE, TILE, Cin)
+    full = slice(0, TILE)
+    slabs = {}
+    for axis in range(3):
+        sl3 = [full, full, full]
+        sl3[axis] = _slab_slice(-1, TILE)
+        sl = xs[:, :, sl3[0], sl3[1], sl3[2]].reshape(B, Nt + pad_tiles, -1)
+        slabs[(axis, -1)] = jnp.concatenate(
+            [sl, jnp.zeros_like(sl[:, :1])], axis=1
+        )
+    miss = Nt + pad_tiles
+    T1 = TILE + 1
 
     def do_chunk(ci):
         start = ci * chunk
-        halo = _build_halo_slabs(xp, slabs, nbrp, start, chunk, TILE, Cin, B,
-                                 Nt, pad_tiles)
-        h = halo.reshape(B * chunk, TILE + 2, TILE + 2, TILE + 2, Cin)
+        core = jax.lax.dynamic_slice(
+            xp, (0, start, 0), (B, chunk, CELLS * Cin)
+        ).reshape(B, chunk, TILE, TILE, TILE, Cin)
+        nbr_chunk = jax.lax.dynamic_slice(nbrp, (0, 0, start), (B, 26, chunk))
+        piece = {(0, 0, 0): core}
+        for di, d in enumerate(_DIRS):
+            if d not in _LOW_DIRS:
+                continue
+            rows = nbr_chunk[:, di]
+            rows = jnp.where(rows < Nt, rows, miss)
+            a = _face_axis(d)
+            g = jax.vmap(lambda arr, r: jnp.take(arr, r, axis=0))(
+                slabs[(a, -1)], rows)
+            fshape = [TILE, TILE, TILE]
+            fshape[a] = 1
+            g = g.reshape((B, chunk) + tuple(fshape) + (Cin,))
+            sl3 = [full, full, full]
+            for ax in range(3):
+                if ax != a:
+                    sl3[ax] = _slab_slice(d[ax], TILE)
+            piece[d] = g[:, :, sl3[0], sl3[1], sl3[2]]
+        # Hierarchical concat into a (T+1)^3 low-haloed block.
+        planes_x = []
+        for dx in (-1, 0):
+            planes_y = []
+            for dy in (-1, 0):
+                planes_y.append(jnp.concatenate(
+                    [piece[(dx, dy, dz)] for dz in (-1, 0)], axis=4))
+            planes_x.append(jnp.concatenate(planes_y, axis=3))
+        h = jnp.concatenate(planes_x, axis=2).reshape(
+            B * chunk, T1, T1, T1, Cin)
         acc = jnp.zeros((B * chunk, TILE, TILE, TILE, Cout), jnp.float32)
         ti = 0
         for sx in (0, 1):      # halo offset 1+s with s in {-1, 0}

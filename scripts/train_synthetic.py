@@ -1,0 +1,60 @@
+"""Train the flagship model on synthetic textured bodies.
+
+No real 8iVFBv2/MVUB/UVG-VPC data is reachable in this environment
+(zero egress), so training runs on the hermetic mirror of the reference
+pipeline: textured synthetic vox10 bodies sliced into 128^3 cubes
+(data/dataset.SyntheticBodyDataset) — same cube statistics, honest
+stand-in documented in STATUS.md. Checkpoints land in
+results/<experiment>/ and auto-resume, so the script can be re-run.
+
+Run: python scripts/train_synthetic.py [epochs] [num_frames]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+
+def main(epochs=40, num_frames=10):
+    from lcpcga_tpu.data.dataset import SyntheticBodyDataset
+    from lcpcga_tpu.data.transform import build_transforms
+    from lcpcga_tpu.training.trainer import Training
+    from lcpcga_tpu.utils import load_config
+
+    config = load_config(os.path.join(os.path.dirname(__file__), os.pardir,
+                                      "configs", "ours.yaml"))
+    config["experiment_name"] = "synthetic_flagship"
+    config["epochs"] = epochs
+    config["validate"] = True
+
+    transform = build_transforms(config.get("transforms", {}).get("train", {}))
+    t0 = time.time()
+    dataset = SyntheticBodyDataset(
+        num_frames=num_frames,
+        points_per_frame=600_000,
+        min_points=config.get("min_points_train", 300),
+        transform=transform,
+    )
+    print(f"dataset: {len(dataset)} cubes from {num_frames} bodies "
+          f"({time.time()-t0:.0f}s)", flush=True)
+
+    trainer = Training(config, dataset=dataset)
+
+    # Held-out validation bodies (different seed range).
+    from lcpcga_tpu.data import body_cloud
+
+    val_frames = []
+    for i in range(2):
+        c, col = body_cloud(400_000, resolution=1024, seed=900_000 + i)
+        val_frames.append({"points": c, "colors": col,
+                           "sequence": f"synthetic_val_{i}", "frame": i})
+
+    trainer.train(val_every=10, val_frames=val_frames)
+    print("weights:", trainer.export_weights(), flush=True)
+
+
+if __name__ == "__main__":
+    args = [int(a) for a in sys.argv[1:]]
+    main(*args)
