@@ -110,7 +110,7 @@ class PointCloudCodec:
 
         m = model
 
-        if model.caps.tile_fraction > 0:
+        if model.caps.tile_fraction > 0 and model.caps.analysis_tiles:
             # Tiled analysis as per-level jitted programs (HBM bounding,
             # mirroring the staged synthesis below).
             @jax.jit
@@ -151,6 +151,19 @@ class PointCloudCodec:
         @jax.jit
         def decode_params_fn(params, y_coords, z_hat_feats):
             return m.apply(params, y_coords, z_hat_feats, method=_CM.entropy_decode_params)
+
+        if model.separate_q_model:
+            @jax.jit
+            def encode_qz_fn(params, q_latent):
+                return m.apply(params, q_latent, method=_CM.entropy_encode_qz)
+
+            @jax.jit
+            def decode_params_q_fn(params, q_coords, qz_feats):
+                return m.apply(params, q_coords, qz_feats,
+                               method=_CM.entropy_decode_params_q)
+
+            self._encode_qz = encode_qz_fn
+            self._decode_params_q = decode_params_q_fn
 
         # Synthesis as four separate jitted stage programs: the combined
         # vox10 synthesis program OOMs HBM; staged execution caps the
@@ -208,6 +221,20 @@ class PointCloudCodec:
             quantiles, pmf, cdf_lo, cdf_hi
         )
         self.z_medians = np.asarray(medians).astype(np.float32)
+        if self.model.separate_q_model:
+            pmf_q, lo_q, hi_q = jax.jit(
+                lambda p: self.model.apply(p, method=_CM.eb_q_pmf_window)
+            )(self.params)
+            q_quant, q_med = jax.jit(
+                lambda p: (
+                    self.model.apply(p, method=_CM.eb_q_quantiles),
+                    self.model.apply(p, method=_CM.eb_q_medians),
+                )
+            )(self.params)
+            self.tables_qz = EntropyBottleneck.tables_from_window(
+                q_quant, pmf_q, lo_q, hi_q
+            )
+            self.qz_medians = np.asarray(q_med).astype(np.float32)
 
     def _require_tables(self):
         if self.tables_y is None:
@@ -272,7 +299,7 @@ class PointCloudCodec:
         else:
             q_st = self._q_tensor(x, q)
 
-        y, _q_latent, k, ov_a = self._analysis(self.params, x, q_st)
+        y, q_latent, k, ov_a = self._analysis(self.params, x, q_st)
         z_vals_dev, z_count_dev, ov_z = self._encode_z(self.params, y)
 
         # Loud overflow detection: a full capacity buffer means dropped
@@ -322,6 +349,37 @@ class PointCloudCodec:
         grid = y_xyz // LATENT_STRIDE
         points_payload = octree_encode(grid, self.depth - 3)
 
+        # separate_q_model ablation: the quality map rides in its own
+        # hyperprior streams (mirrors the y/z pattern bit-exactly;
+        # /root/reference/model/model.py:129-135).
+        q_payload = b""
+        qz_payload = b""
+        n_qz = 0
+        if self.model.separate_q_model:
+            qz_vals_dev, qz_count_dev, _ = self._encode_qz(
+                self.params, q_latent
+            )
+            n_qz = int(qz_count_dev[0])
+            qch = self.qz_medians.shape[0]
+            qz_vals = np.asarray(qz_vals_dev[0, :n_qz]).astype(np.int32)
+            qz_payload = rans_encode(
+                qz_vals.ravel(), _channel_indexes(n_qz, qch), self.tables_qz
+            )
+            qz_hat = qz_vals.astype(np.float32) + self.qz_medians[None, :]
+            qz_pad = np.zeros((1, self.caps.cap(Z_STRIDE), qch), np.float32)
+            qz_pad[0, :n_qz] = qz_hat
+            y_coords_q = self._coords_st(y.keys, y.count, LATENT_STRIDE)
+            _, q_means, q_idx, _ = self._decode_params_q(
+                self.params, y_coords_q, jnp.asarray(qz_pad)
+            )
+            q_feats = np.asarray(q_latent.feats[0, :n_y], np.float32)
+            qm_np = np.asarray(q_means[0, :n_y], np.float32)
+            v_q = np.round(q_feats - qm_np).astype(np.int32)
+            q_payload = rans_encode(
+                v_q.ravel(), np.asarray(q_idx[0, :n_y], np.int32).ravel(),
+                self.tables_y,
+            )
+
         k_np = [int(v) for v in np.asarray(k[0])]
         stream = Bitstream(
             z_length=n_z,
@@ -336,6 +394,9 @@ class PointCloudCodec:
             tile_pct=int(round(self.caps.tile_fraction * 100)),
             same_tile_pct=int(round(self.caps.same_tile_fraction * 100)),
             post_tile_pct=int(round(self.caps.post_tile_fraction * 100)),
+            q_payload=q_payload,
+            qz_payload=qz_payload,
+            qz_length=n_qz,
         )
         if path is not None:
             stream.save(path)
@@ -403,6 +464,31 @@ class PointCloudCodec:
         y_hat_pad = np.zeros((1, cap8, cb), np.float32)
         y_hat_pad[0, :n_y] = y_hat_feats
         y_hat = y_coords.with_feats(jnp.asarray(y_hat_pad))
+
+        # separate_q_model: decode the quality map from its own streams
+        # (q_hat from the h_q-free decode_params is None in this mode).
+        if self.model.separate_q_model:
+            n_qz = stream.qz_length
+            qch = self.qz_medians.shape[0]
+            qz_vals = rans_decode(
+                stream.qz_payload, _channel_indexes(n_qz, qch), self.tables_qz
+            ).reshape(n_qz, qch)
+            qz_pad = np.zeros((1, self.caps.cap(Z_STRIDE), qch), np.float32)
+            qz_pad[0, :n_qz] = (
+                qz_vals.astype(np.float32) + self.qz_medians[None, :]
+            )
+            _, q_means, q_idx, _ = self._decode_params_q(
+                self.params, y_coords, jnp.asarray(qz_pad)
+            )
+            qm_np = np.asarray(q_means[0, :n_y], np.float32)
+            qb = qm_np.shape[1]
+            v_q = rans_decode(
+                stream.q_payload,
+                np.asarray(q_idx[0, :n_y], np.int32).ravel(), self.tables_y,
+            ).reshape(n_y, qb)
+            q_hat_pad = np.zeros((1, cap8, qb), np.float32)
+            q_hat_pad[0, :n_y] = v_q.astype(np.float32) + qm_np
+            q_hat = y_coords.with_feats(jnp.asarray(q_hat_pad))
 
         k = jnp.asarray([stream.k], jnp.int32)
         x_hat, ov_s = self._synthesis(self.params, y_hat, q_hat, k)

@@ -162,6 +162,24 @@ class ColorModel(nn.Module):
     def eb_quantiles(self):
         return self.entropy_model.eb.quantiles
 
+    # separate_q_model ablation: the quality map rides in its own
+    # hyperprior streams (/root/reference/model/model.py:129-135,242-263)
+    # instead of the h_q head.
+    def entropy_encode_qz(self, q_latent: SparseTensor):
+        return self.entropy_model_map.encode_z(q_latent)
+
+    def entropy_decode_params_q(self, q_coords: SparseTensor, qz_feats):
+        return self.entropy_model_map.decode_params(q_coords, qz_feats)
+
+    def eb_q_medians(self):
+        return self.entropy_model_map.eb_medians()
+
+    def eb_q_pmf_window(self):
+        return self.entropy_model_map.eb.pmf_window()
+
+    def eb_q_quantiles(self):
+        return self.entropy_model_map.eb.quantiles
+
     def synthesis(self, y_hat: SparseTensor, q_hat: SparseTensor, k):
         return self.g_s(y_hat, q_hat, k)
 

@@ -66,6 +66,11 @@ class Capacities:
     # the single heaviest gather stack) — controlled separately.
     # TPU-verified at vox10 scale (unlike the level stacks above).
     post_tile_fraction: float = 1.3
+    # Tiled analysis transform (encoder-only; NOT stream-semantic — the
+    # decoder never recomputes g_a, so this is a pure runtime choice and
+    # is not serialized). The tiled path is the TPU encode speed path;
+    # the sparse path compiles much faster (training / CPU).
+    analysis_tiles: bool = True
 
     def post_tile_cap(self, stride: int) -> int:
         """Tile capacity for the post-conv stack: a T=4 tile at stride s
@@ -214,7 +219,7 @@ class AnalysisTransform(nn.Module):
         )
 
     def __call__(self, x: SparseTensor, q: SparseTensor):
-        if self.caps.tile_fraction > 0:
+        if self.caps.tile_fraction > 0 and self.caps.analysis_tiles:
             return self._tiled(x, q)
         return self._sparse(x, q)
 
@@ -330,12 +335,25 @@ class AnalysisTransform(nn.Module):
         packed_grid, packed = TL.downsample_pack(grid, feats, tile_caps[i])
         nbr = TL.neighbor_rows(packed_grid.keys)
         mask = packed_grid.mask & packed_grid.valid[:, :, None]
-        # Per-(cell, parity)-block channel split: packed layout is
-        # CELLS x 8 q-blocks of (h_ch + c_ch) channels each.
         prev = self.n1 if i == 0 else n_widths[i - 1]
-        hp, cp = self._split_ch(packed, prev, prev + cf[i])
-        h = downs_f[i].packed(hp, nbr, mask)
-        c = self.cond.downs[i].packed(cp, nbr, mask)
+        # Fuse the feature and condition down convs into ONE
+        # block-diagonal conv over the merged h|c channels: splitting
+        # the multi-GB packed array into per-branch inputs costs two
+        # full copies at vox10 scale (observed HBM OOM); the fused
+        # weight is built from both modules' (shared-checkpoint)
+        # kernels at trace time.
+        wh = downs_f[i].kernel           # [27, prev, next]
+        wc = self.cond.downs[i].kernel   # [27, cf_i, cf_{i+1}]
+        nxt = wh.shape[-1]
+        cfn = wc.shape[-1]
+        fused = jnp.zeros((27, prev + cf[i], nxt + cfn), wh.dtype)
+        fused = fused.at[:, :prev, :nxt].set(wh)
+        fused = fused.at[:, prev:, nxt:].set(wc)
+        fused_bias = jnp.concatenate([downs_f[i].bias, self.cond.downs[i].bias])
+        w8 = TL.pack_stride2_kernel(fused)
+        hc = TL.dense_conv2(packed, nbr, w8, fused_bias, mask=mask)
+        # Channel split at the (8x smaller) output level.
+        h, c = self._split_ch(hc, nxt, nxt + cfn)
         if self.condition_ablation:
             bg = c
         else:

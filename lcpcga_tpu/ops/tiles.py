@@ -47,6 +47,19 @@ CELLS = TILE**3
 CONV_TILE_CHUNK = 2048
 
 
+def _pick_chunk(n_tiles: int, target: int = CONV_TILE_CHUNK) -> int:
+    """Chunk size near ``target`` that divides n_tiles when possible —
+    avoiding the jnp.pad of the whole tile array (a multi-GB copy for
+    the channel-heavy packed representations)."""
+    if n_tiles <= target:
+        return n_tiles
+    base = -(-n_tiles // target)
+    for n_chunks in range(base, base + 24):
+        if n_tiles % n_chunks == 0:
+            return n_tiles // n_chunks
+    return target
+
+
 @struct.dataclass
 class TileGrid:
     """Dense tile grid at a given cell stride (flat storage, see module
@@ -394,7 +407,7 @@ def transpose_dense_conv(
     kern = kernel.astype(compute_dtype)
 
     x = pfeats.astype(compute_dtype)
-    chunk = min(CONV_TILE_CHUNK, Nt)
+    chunk = _pick_chunk(Nt)
     n_chunks = -(-Nt // chunk)
     pad_tiles = n_chunks * chunk - Nt
     xp = jnp.pad(x, ((0, 0), (0, pad_tiles), (0, 0)))
@@ -487,7 +500,7 @@ def dense_conv(
 
     x = feats.astype(compute_dtype)
 
-    chunk = min(CONV_TILE_CHUNK, Nt)
+    chunk = _pick_chunk(Nt)
     n_chunks = -(-Nt // chunk)
     pad_tiles = n_chunks * chunk - Nt
     xp = jnp.pad(x, ((0, 0), (0, pad_tiles), (0, 0)))
@@ -672,7 +685,7 @@ def dense_conv2(
     kern = kernel8.astype(compute_dtype)
     x = feats.astype(compute_dtype)
 
-    chunk = min(CONV_TILE_CHUNK, Nt)
+    chunk = _pick_chunk(Nt)
     n_chunks = -(-Nt // chunk)
     pad_tiles = n_chunks * chunk - Nt
     xp = jnp.pad(x, ((0, 0), (0, pad_tiles), (0, 0)))

@@ -79,6 +79,10 @@ class Training:
             caps=(cap, cap, max(256, cap // 2), max(256, cap // 4),
                   max(256, cap // 8), max(256, cap // 8)),
             tile_fraction=config.get("tile_fraction", 0.7),
+            # Sparse analysis in the training step: the deeply-chunked
+            # tiled analysis makes the fused train program pathologically
+            # slow to compile; path choice is encoder-runtime-only.
+            analysis_tiles=bool(config.get("analysis_tiles", False)),
         )
         self.loader = Loader(dataset, self.batch_size, capacity=cap,
                              seed=config.get("seed", 0))
