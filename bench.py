@@ -44,7 +44,7 @@ def main():
     import dataclasses
 
     caps = dataclasses.replace(
-        Capacities.for_cloud(coords, margin=1.2), same_tile_fraction=1.3
+        Capacities.for_cloud(coords, margin=1.2), same_tile_fraction=1.05
     )
     model = ColorModel(caps=caps)
 

@@ -306,11 +306,14 @@ class GenerativeUp(nn.Module):
         h = conv(x, p["occ1"], relu=True)
         occ = conv(h, p["occ2"]).astype(jnp.float32)  # [B, Nt, T^3] (Cout=1)
 
-        # Per-item top-k over masked dense logits.
-        logits = jnp.where(cell_mask, occ, -jnp.inf).reshape(B, -1)
-        order = jnp.argsort(-logits, axis=-1, stable=True)
-        rank = jnp.argsort(order, axis=-1)
-        keep = (rank < k[:, None]).reshape(cell_mask.shape) & cell_mask
+        # Per-item top-k over masked dense logits: sort-free radix select
+        # (a double argsort over the ~24M stride-1 candidate cells was a
+        # decode hotspot; ops/sparse.topk_mask_flat is O(N)).
+        from ..ops.sparse import topk_mask_flat
+
+        keep = topk_mask_flat(
+            occ.reshape(B, -1), cell_mask.reshape(B, -1), k
+        ).reshape(cell_mask.shape)
 
         if q is not None:
             kq, bq = p["q_up"]

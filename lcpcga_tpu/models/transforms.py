@@ -65,7 +65,7 @@ class Capacities:
     # Same-stride dense path for the final post-conv stack (stride 1,
     # the single heaviest gather stack) — controlled separately.
     # TPU-verified at vox10 scale (unlike the level stacks above).
-    post_tile_fraction: float = 1.3
+    post_tile_fraction: float = 1.05
     # Tiled analysis transform (encoder-only; NOT stream-semantic — the
     # decoder never recomputes g_a, so this is a pure runtime choice and
     # is not serialized). The tiled path is the TPU encode speed path;

@@ -324,19 +324,85 @@ def expand_coords(st: SparseTensor, capacity: int, kernel_size: int = 3):
 # ---------------------------------------------------------------------------
 
 
+def _float_key(x: jax.Array) -> jax.Array:
+    """Monotone float32 -> uint32 mapping (total order, NaN-free input)."""
+    b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.uint32)
+    sign = (b >> 31).astype(jnp.uint32)
+    return jnp.where(sign == 1, ~b, b | jnp.uint32(0x80000000))
+
+
+def topk_mask_flat(scores: jax.Array, valid: jax.Array, k: jax.Array) -> jax.Array:
+    """Exact top-k mask per batch row WITHOUT sorting: 4-round radix
+    select on the order-preserving uint32 float keys (each round counts
+    256 buckets with compare-reductions — O(N) total work vs the
+    O(N log N) double argsort over ~24M candidate logits in the decoder;
+    VERDICT r1 next-step #9).
+
+    scores [B, M] float, valid [B, M] bool, k [B] int. Ties at the
+    threshold value keep the LOWEST index — identical selection to
+    ``jnp.argsort(-s, stable=True)`` rank < k.
+    """
+    B, M = scores.shape
+    CHUNK = 1 << 20
+    n_chunks = -(-M // CHUNK)
+    pad = n_chunks * CHUNK - M
+    key = jnp.where(valid, _float_key(scores), jnp.uint32(0))
+    key = jnp.pad(key, ((0, 0), (0, pad)))
+    bins = jnp.arange(256, dtype=jnp.int32)
+
+    def per_item(key_i, k_i):
+        prefix = jnp.uint32(0)
+        remaining = k_i.astype(jnp.int32)
+        kc = key_i.reshape(n_chunks, -1)
+        # 4 radix rounds, high byte first (invalid rows carry key 0 and
+        # never outrank a real key except k > #valid, where everything
+        # valid is kept anyway).
+        for shift in (24, 16, 8, 0):
+            if shift == 24:
+                def count_chunk(kk, prefix=prefix):
+                    byte = ((kk >> 24) & jnp.uint32(0xFF)).astype(jnp.int32)
+                    return jnp.sum(byte[:, None] == bins[None, :], axis=0)
+            else:
+                high = jnp.uint32((0xFFFFFFFF << (shift + 8)) & 0xFFFFFFFF)
+
+                def count_chunk(kk, prefix=prefix, high=high, shift=shift):
+                    in_pref = (kk & high) == prefix
+                    byte = ((kk >> shift) & jnp.uint32(0xFF)).astype(jnp.int32)
+                    return jnp.sum(
+                        (byte[:, None] == bins[None, :]) & in_pref[:, None],
+                        axis=0,
+                    )
+
+            counts = jnp.sum(jax.lax.map(count_chunk, kc), axis=0)  # [256]
+            desc = jnp.cumsum(counts[::-1])[::-1]  # desc[b] = # byte >= b
+            sel = jnp.max(jnp.where(desc >= remaining, bins, -1))
+            sel = jnp.maximum(sel, 0)
+            above = jnp.where(sel < 255, desc[jnp.minimum(sel + 1, 255)], 0)
+            remaining = remaining - above
+            prefix = prefix | (sel.astype(jnp.uint32) << shift)
+        # prefix == exact k-th largest key; remaining = how many of the
+        # ties at that key to keep (lowest index first).
+        gt = key_i > prefix
+        eq = key_i == prefix
+        eq_rank = jnp.cumsum(eq.astype(jnp.int32)) * eq.astype(jnp.int32)
+        keep = gt | (eq & (eq_rank <= remaining))
+        return keep & (k_i > 0)
+
+    keep = jax.vmap(per_item)(key, k)[:, :M]
+    # Invalid rows have key 0; exclude them (they can slip in when
+    # k exceeds the valid count).
+    return keep & valid
+
+
 def topk_mask(st: SparseTensor, scores: jax.Array, k: jax.Array) -> jax.Array:
     """[B, N] bool — top-k[b] valid rows of each item by score.
 
     Per-batch top-k with ragged k (k arrives from the bitstream at decode
     time). Replaces the Python loop in
     /root/reference/model/blocks.py:130-150 (``_topk_prediction``) with a
-    rank computation that stays inside jit.
+    sort-free radix select that stays inside jit.
     """
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    s = jnp.where(st.valid, scores, neg_inf)
-    order = jnp.argsort(-s, axis=-1, stable=True)
-    rank = jnp.argsort(order, axis=-1)
-    return (rank < k[:, None]) & st.valid
+    return topk_mask_flat(scores, st.valid, k)
 
 
 def prune(st: SparseTensor, keep: jax.Array, capacity: int) -> SparseTensor:

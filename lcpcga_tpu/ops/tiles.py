@@ -469,7 +469,7 @@ def transpose_dense_conv(
             out = out * m.astype(out.dtype)[..., None]
         return out.astype(pfeats.dtype).reshape(B, chunk, CELLS * Cout)
 
-    chunks = jax.lax.map(do_chunk, jnp.arange(n_chunks))
+    chunks = jax.lax.map(jax.checkpoint(do_chunk), jnp.arange(n_chunks))
     return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
 
 
@@ -547,7 +547,7 @@ def dense_conv(
             out = jnp.maximum(out, 0)
         return out.astype(feats.dtype).reshape(B, chunk, CELLS * Cout)
 
-    chunks = jax.lax.map(do_chunk, jnp.arange(n_chunks))
+    chunks = jax.lax.map(jax.checkpoint(do_chunk), jnp.arange(n_chunks))
     return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
 
 
@@ -622,7 +622,7 @@ def downsample_pack(
             qm = qm.transpose(0, 1, 4, 2, 5, 3, 6).reshape(CHUNK, CELLS)
             return qf, qm
 
-        qf, qm = jax.lax.map(chunk, keys2_i.reshape(n_chunks, CHUNK))
+        qf, qm = jax.lax.map(jax.checkpoint(chunk), keys2_i.reshape(n_chunks, CHUNK))
         return (qf.reshape(n_chunks * CHUNK, -1)[:tile_capacity],
                 qm.reshape(n_chunks * CHUNK, -1)[:tile_capacity])
 
@@ -761,7 +761,7 @@ def dense_conv2(
             out = jnp.maximum(out, 0)
         return out.astype(feats.dtype).reshape(B, chunk, CELLS * Cout)
 
-    chunks = jax.lax.map(do_chunk, jnp.arange(n_chunks))
+    chunks = jax.lax.map(jax.checkpoint(do_chunk), jnp.arange(n_chunks))
     return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
 
 

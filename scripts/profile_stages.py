@@ -42,7 +42,7 @@ def main(n_points=780_000):
     coords, colors = surface_cloud(n_points, resolution=1024, seed=0)
     n = coords.shape[0]
     caps = dataclasses.replace(
-        Capacities.for_cloud(coords, margin=1.2), same_tile_fraction=1.3
+        Capacities.for_cloud(coords, margin=1.2), same_tile_fraction=1.05
     )
     model = ColorModel(caps=caps)
 

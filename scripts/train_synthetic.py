@@ -28,6 +28,11 @@ def main(epochs=40, num_frames=10):
     config["experiment_name"] = "synthetic_flagship"
     config["epochs"] = epochs
     config["validate"] = True
+    # 16GB v5e HBM budget: the fused fwd+bwd step at batch 8 x 8192 rows
+    # needs ~40GB even with chunk rematerialization; 4 x 4096 fits
+    # (median synthetic cube is ~2800 points).
+    config["batch_size"] = 4
+    config["capacity"] = 4096
 
     transform = build_transforms(config.get("transforms", {}).get("train", {}))
     t0 = time.time()
