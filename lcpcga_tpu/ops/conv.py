@@ -134,6 +134,10 @@ def sparse_conv_streamed(
         coords = C.unpack(chunk_keys)
         valid = chunk_keys != C.INVALID_KEY
 
+        # jax.checkpoint: reverse-mode otherwise stores the gathered
+        # activations of every tap (27x the chunk) — recomputing the
+        # lookup+gather in the backward pass is far cheaper than HBM.
+        @jax.checkpoint
         def tap(acc, k):
             off = jax.lax.dynamic_index_in_dim(offsets, k, axis=0, keepdims=False)
             qk = jax.vmap(C.pack_valid)(coords + off[None, None, :], valid)

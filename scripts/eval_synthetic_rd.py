@@ -61,8 +61,24 @@ def main(weights="results/synthetic_flagship/weights.msgpack",
     init = jax.jit(lambda r, x, q, lam: model.init(r, x, q, lam, training=True))
     params = init({"params": jax.random.PRNGKey(1),
                    "noise": jax.random.PRNGKey(2)}, x0, q0, lam0)
-    with open(weights, "rb") as f:
-        params = serialization.from_bytes(params, f.read())
+    if not os.path.exists(weights):
+        # Fall back to the newest per-epoch checkpoint.
+        import glob
+
+        ckpts = sorted(glob.glob(os.path.join(os.path.dirname(weights),
+                                              "ckpt_*.msgpack")))
+        if not ckpts:
+            raise FileNotFoundError(f"no weights or checkpoints near {weights}")
+        print("using checkpoint", ckpts[-1])
+        with open(ckpts[-1], "rb") as f:
+            blob = f.read()
+        from flax import serialization as _ser
+
+        raw = _ser.msgpack_restore(blob)
+        params = _ser.from_state_dict(params, raw["state"]["params"])
+    else:
+        with open(weights, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
 
     codec = PointCloudCodec(model, params)
     codec.update()

@@ -1,0 +1,92 @@
+"""RD regression against trained weights (SURVEY §4 test-pyramid item 3).
+
+Runs only when a trained export exists (results/synthetic_flagship/
+weights.msgpack — produced by scripts/train_synthetic.py); hermetic CI
+runs skip it. Asserts the trained codec's basic RD contract on a
+held-out synthetic body:
+
+  * rate responds monotonically to the quality map (higher q -> more
+    bits),
+  * reconstruction quality floors (geometry is exact-count by
+    construction; color PSNR must beat a do-nothing baseline),
+  * quality improves with rate.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+WEIGHTS = os.path.join(
+    os.path.dirname(__file__), os.pardir,
+    "results", "synthetic_flagship", "weights.msgpack",
+)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(WEIGHTS), reason="no trained weights exported"
+)
+
+
+@pytest.fixture(scope="module")
+def trained_codec():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from lcpcga_tpu import ops
+    from lcpcga_tpu.codec_runtime import PointCloudCodec
+    from lcpcga_tpu.data import QMap, batch_from_clouds, body_cloud, surface_cloud
+    from lcpcga_tpu.models import Capacities, make_model
+    from lcpcga_tpu.utils import load_config
+
+    config = load_config(os.path.join(os.path.dirname(WEIGHTS), "config.yaml"))
+    coords, colors = body_cloud(60_000, resolution=512, seed=990_001)
+    caps = dataclasses.replace(
+        Capacities.for_cloud(coords, margin=1.4), same_tile_fraction=1.05
+    )
+    model = make_model(config["model"], caps)
+    cs, cols = surface_cloud(500, resolution=256, seed=1)
+    pc, pf, pv = batch_from_clouds([(cs, cols)], caps.cap(1))
+    x0 = ops.from_coords(jnp.asarray(pc), jnp.asarray(pf), jnp.asarray(pv))
+    qm = QMap(config.get("q_map", {}))
+    q0, lam0 = qm(x0, jax.random.PRNGKey(0))
+    params = jax.jit(
+        lambda r, x, q, lam: model.init(r, x, q, lam, training=True)
+    )({"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)},
+      x0, q0, lam0)
+    with open(WEIGHTS, "rb") as f:
+        params = serialization.from_bytes(params, f.read())
+    codec = PointCloudCodec(model, params)
+    codec.update()
+    return codec, coords, colors
+
+
+def test_rate_monotone_in_q(trained_codec):
+    codec, coords, colors = trained_codec
+    bpps = []
+    for qg, qa in [(0.05, 0.1), (0.2, 0.4), (0.8, 0.8)]:
+        stream, _ = codec.compress(coords, colors, (qg, qa),
+                                   return_debug=False)
+        bpps.append(len(stream.to_bytes()) * 8.0 / coords.shape[0])
+    assert bpps[0] < bpps[1] < bpps[2], bpps
+
+
+def test_quality_improves_with_rate(trained_codec):
+    from lcpcga_tpu.eval.metrics import PointCloudMetric
+
+    codec, coords, colors = trained_codec
+    psnrs = []
+    for qg, qa in [(0.05, 0.1), (0.8, 0.8)]:
+        stream, _ = codec.compress(coords, colors, (qg, qa),
+                                   return_debug=False)
+        rc, rcol = codec.decompress(stream)
+        assert rc.shape[0] == coords.shape[0]
+        m, _ = PointCloudMetric(coords, colors, rc, rcol, resolution=511)\
+            .compute_pointcloud_metrics(drop_duplicates=False)
+        psnrs.append(m["sym_y_psnr"])
+    # Trained color path must beat gray-card coding (~10-12 dB) at the
+    # high-rate point and improve with rate.
+    assert psnrs[1] > psnrs[0], psnrs
+    assert psnrs[1] > 18.0, psnrs
