@@ -169,6 +169,128 @@ _REGISTRY = {
 }
 
 
+class Voxelize:
+    """Point-cloud cube -> dense [4, S, S, S] voxel grid (occupancy +
+    RGB; /root/reference/data/transform.py:190-229). Replaces
+    points/colors with a "voxels" entry."""
+
+    def __init__(self, settings=None):
+        settings = settings or {}
+        self.block_size = int(settings.get("block_size", 128))
+
+    def __call__(self, sample, rng=None):
+        s = self.block_size
+        voxel = np.zeros((4, s, s, s), np.float32)
+        pts = np.clip(np.round(sample["points"]).astype(np.int64), 0, s - 1)
+        i, j, k = pts[:, 0], pts[:, 1], pts[:, 2]
+        voxel[0, i, j, k] = 1.0
+        voxel[1:, i, j, k] = np.asarray(sample["colors"], np.float32).T
+        out = dict(sample)
+        out.pop("points")
+        out.pop("colors")
+        out["voxels"] = voxel
+        return out
+
+
+class Devoxelize:
+    """Inverse of Voxelize: occupied cells -> points + colors
+    (/root/reference/data/transform.py:231-272)."""
+
+    def __init__(self, settings=None):
+        self.block_size = int((settings or {}).get("block_size", 128))
+
+    def __call__(self, sample, rng=None):
+        voxel = sample["voxels"]
+        occ = np.nonzero(voxel[0] == 1)
+        pts = np.stack(occ, axis=1).astype(np.float64)
+        colors = voxel[1:, occ[0], occ[1], occ[2]].T.astype(np.float32)
+        out = dict(sample)
+        out.pop("voxels")
+        out["points"] = pts
+        out["colors"] = colors
+        return out
+
+
+class ProjectTexture:
+    """Project a random texture image onto the cube's (x, y) footprint
+    (/root/reference/data/transform.py:343-391 uses torchvision DTD;
+    here any directory of images — or, absent one, procedural multi-
+    octave textures — supplies the patterns, keeping the augmentation
+    usable with zero downloads)."""
+
+    def __init__(self, settings=None):
+        settings = settings or {}
+        dataset_dir = settings.get("dataset_dir")
+        self.block_size = int(settings.get("block_size", 128))
+        self.probability = float(settings.get("probability", 0.5))
+        self.images = []
+        if dataset_dir:
+            import glob as _glob
+
+            for ext in ("*.png", "*.jpg", "*.jpeg"):
+                self.images.extend(
+                    _glob.glob(f"{dataset_dir}/**/{ext}", recursive=True)
+                )
+
+    def _texture(self, rng) -> np.ndarray:
+        s = self.block_size
+        if self.images:
+            from PIL import Image  # torchvision dependency, present
+
+            img = np.asarray(
+                Image.open(self.images[rng.integers(len(self.images))])
+                .convert("RGB"),
+                np.float32,
+            ) / 255.0
+            # random crop / tile to [s, s, 3]
+            h, w = img.shape[:2]
+            ys = rng.integers(max(1, h - s + 1))
+            xs = rng.integers(max(1, w - s + 1))
+            crop = img[ys:ys + s, xs:xs + s]
+            out = np.zeros((s, s, 3), np.float32)
+            out[: crop.shape[0], : crop.shape[1]] = crop
+            return out
+        # Procedural fallback: multi-octave directional harmonics.
+        yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+        grid = np.stack([yy, xx], -1).astype(np.float32) / s
+        tex = np.full((s, s, 3), 0.5, np.float32)
+        for octave in range(4):
+            freq = 2.0 * (2.0**octave)
+            amp = 0.3 / (1.5**octave)
+            for c in range(3):
+                d = rng.standard_normal(2)
+                d /= np.linalg.norm(d)
+                tex[:, :, c] += amp * np.sin(
+                    freq * 2 * np.pi * (grid @ d) + rng.uniform(0, 2 * np.pi)
+                )
+        return np.clip(tex, 0, 1)
+
+    def __call__(self, sample, rng=None):
+        rng = rng or np.random.default_rng()
+        # NOTE: reference quirk — it returns UNCHANGED when rand < p,
+        # i.e. `probability` is the chance of SKIPPING the projection.
+        if rng.random() < self.probability:
+            return sample
+        tex = self._texture(rng)
+        pts = np.asarray(sample["points"])
+        x = np.round(pts[:, 0]).astype(np.int64)
+        y = np.round(pts[:, 1]).astype(np.int64)
+        h, w = tex.shape[:2]
+        valid = (x >= 0) & (x < w) & (y >= 0) & (y < h)
+        colors = np.array(sample["colors"], np.float32)
+        colors[valid] = tex[y[valid], x[valid]]
+        out = dict(sample)
+        out["colors"] = colors
+        return out
+
+
+_REGISTRY.update({
+    "Voxelize": Voxelize,
+    "Devoxelize": Devoxelize,
+    "ProjectTexture": ProjectTexture,
+})
+
+
 class Compose:
     def __init__(self, transforms):
         self.transforms = transforms
