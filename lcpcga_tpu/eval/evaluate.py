@@ -131,7 +131,8 @@ class TestsetRunner:
                     if save_streams else None
                 )
                 t0 = time.perf_counter()
-                stream, _ = codec.compress(coords, colors, (q_g, q_a), path=path)
+                stream, _ = codec.compress(coords, colors, (q_g, q_a), path=path,
+                                           return_debug=False)
                 t1 = time.perf_counter()
                 rec_coords, rec_colors = codec.decompress(stream)
                 t2 = time.perf_counter()
