@@ -25,7 +25,7 @@ OPERATING_POINTS = [(0.05, 0.1), (0.1, 0.2), (0.2, 0.4), (0.4, 0.8),
 
 
 def main(weights="results/synthetic_flagship/weights.msgpack",
-         n_points=400_000):
+         n_points=250_000):
     import jax
     from flax import serialization
 
@@ -80,7 +80,7 @@ def main(weights="results/synthetic_flagship/weights.msgpack",
         with open(weights, "rb") as f:
             params = serialization.from_bytes(params, f.read())
 
-    codec = PointCloudCodec(model, params)
+    codec = PointCloudCodec(model, params, strict_overflow=False)
     codec.update()
 
     out_dir = os.path.join(os.path.dirname(weights), "rd_eval")
