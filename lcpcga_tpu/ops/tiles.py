@@ -383,6 +383,22 @@ def _build_halo(xp, nbrp, start, chunk, size, cin, B, Nt, pad_tiles):
     return jnp.concatenate(planes_x, axis=2)
 
 
+import os as _os
+
+
+def _use_pallas(cin: int, cout: int) -> bool:
+    """Opt-in Pallas fused-kernel dispatch (LCPCGA_PALLAS=1).
+
+    Gated to MXU-worthwhile widths; the q-branch 2-channel chains stay
+    on the XLA path. Off by default until the per-program compile cost
+    on the axon AOT helper is validated at full scale (STATUS.md)."""
+    if _os.environ.get("LCPCGA_PALLAS") != "1":
+        return False
+    if jax.default_backend() not in ("tpu",):
+        return False
+    return cin >= 16 and cout >= 16
+
+
 def transpose_dense_conv(
     pfeats: jax.Array,
     nbr_rows: jax.Array,
@@ -400,6 +416,12 @@ def transpose_dense_conv(
     slot with a fixed parent shift, so the op is 27 dense einsums over
     the haloed parent block. Returns child grid [B, Nt, TILE^3 * Cout].
     """
+    if _use_pallas(kernel.shape[1], kernel.shape[-1]) and mask is not None:
+        from . import pallas_conv as PC
+
+        return PC.tile_conv(pfeats, nbr_rows, kernel, bias,
+                            mask.astype(jnp.bfloat16), size=PTILE,
+                            transpose=True)
     B, Nt, FC = pfeats.shape
     Cin = kernel.shape[1]
     Cout = kernel.shape[-1]
@@ -492,6 +514,12 @@ def dense_conv(
     Chunked over tiles; core rows are contiguous dynamic slices, halo
     slabs come from whole-tile row gathers of the 26 neighbors.
     """
+    if _use_pallas(kernel.shape[1], kernel.shape[-1]) and mask is not None:
+        from . import pallas_conv as PC
+
+        return PC.tile_conv(feats, nbr_rows, kernel, bias,
+                            mask.astype(jnp.bfloat16), size=TILE,
+                            relu=relu, flip=flip)
     B, Nt, FC = feats.shape
     Cin = kernel.shape[1]
     Cout = kernel.shape[-1]
