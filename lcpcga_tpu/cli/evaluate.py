@@ -7,7 +7,6 @@ import argparse
 import os
 
 import jax
-import numpy as np
 from flax import serialization
 
 from ..codec_runtime import PointCloudCodec

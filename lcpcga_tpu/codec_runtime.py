@@ -27,7 +27,6 @@ of shelling out to tmc3 through ASCII PLY files
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Optional, Tuple
 

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import struct
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 MAGIC = b"LCPT"
 VERSION = 2

@@ -14,9 +14,8 @@ using the true per-scale point counts k.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 

@@ -33,7 +33,6 @@ from ..ops import (
     SparseTensor,
     expand_coords,
     prune,
-    self_kernel_map,
     topk_mask,
     transpose_map,
 )

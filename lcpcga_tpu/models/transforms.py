@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import (
-    SparseConv,
     SparseTensor,
     downsample_coords_only,
     downsample_map,

@@ -23,7 +23,7 @@ from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.qmap import QMap
-from ..ops import SparseTensor, from_coords
+from ..ops import from_coords
 from ..training.loss import Loss
 
 

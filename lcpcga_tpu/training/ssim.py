@@ -10,7 +10,6 @@ over the union coordinate set (scan over taps, O(window^3) gathers).
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict
 
 import jax

@@ -22,9 +22,7 @@ from __future__ import annotations
 
 import glob
 import os
-import re
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -36,7 +34,6 @@ from ..data.qmap import QMap
 from ..data.transform import build_transforms
 from ..models import Capacities, make_model
 from ..parallel import create_train_state, data_parallel_mesh, make_train_step, shard_batch
-from ..parallel.train_step import TrainState
 from ..utils import AverageMeter, save_config
 from .loss import Loss
 
