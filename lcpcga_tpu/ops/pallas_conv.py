@@ -112,19 +112,22 @@ def _dense_kernel(core_ref, g_ref, mask_ref, w_ref, b_ref, out_ref, halo_ref,
                     preferred_element_type=jnp.float32,
                 )
                 ki += 1
-    out = acc.reshape(tb, cells, cout) + b_ref[0][None, None, :]
-    out = out * mask_ref[0].astype(jnp.float32).reshape(tb, cells, 1)
+    # Stay 2D: Mosaic layouts break on [tb, cells, cout] for cout < 128.
+    out = acc + b_ref[0][None, :]
+    out = out * mask_ref[0].astype(jnp.float32).reshape(tb * cells, 1)
     if relu:
         out = jnp.maximum(out, 0.0)
     out_ref[0] = out.astype(out_ref.dtype).reshape(tb, cells * cout)
 
 
-def _transpose_kernel(core_ref, g_ref, mask_ref, w_ref, b_ref, out_ref,
+def _transpose_kernel(core_ref, g_ref, w_ref, out_ref,
                       halo_ref, *, tb: int, cin: int, cout: int, size: int):
     """Generative transposed conv: parent halo [TB, size+2, ..] ->
-    child tile [TB, (2*size)^3 * Cout] via the unified subpixel matmul
-    (one [TB*size^3, 8*Cin] x [8*Cin, 8*Cout] GEMM; see
-    ops/tiles.transpose_dense_conv)."""
+    UN-INTERLEAVED child [TB, size^3 * 8 * Cout] via the unified
+    subpixel matmul (one [TB*size^3, 8*Cin] x [8*Cin, 8*Cout] GEMM;
+    see ops/tiles.transpose_dense_conv). The (parent-cell, parity) ->
+    child-cell interleave + bias + mask run in XLA afterwards — Mosaic
+    rejects the 8D reshape/transpose for Cout < 128."""
     _paste_halo(halo_ref, core_ref, g_ref, size, cin, tb)
     h = halo_ref[:]
     pc = size**3
@@ -140,13 +143,7 @@ def _transpose_kernel(core_ref, g_ref, mask_ref, w_ref, b_ref, out_ref,
                     preferred_element_type=jnp.float32,
                 )
                 wi += 1
-    # [TB, ux,uy,uz, px,py,pz, Cout] -> interleave -> [TB, 2s,2s,2s, Cout]
-    child = child.reshape(tb, size, size, size, 2, 2, 2, cout)
-    child = child.transpose(0, 1, 4, 2, 5, 3, 6, 7)
-    cells = (2 * size)**3
-    out = child.reshape(tb, cells, cout) + b_ref[0][None, None, :]
-    out = out * mask_ref[0].astype(jnp.float32).reshape(tb, cells, 1)
-    out_ref[0] = out.astype(out_ref.dtype).reshape(tb, cells * cout)
+    out_ref[0] = child.astype(out_ref.dtype).reshape(tb, pc * 8 * cout)
 
 
 # Face-array index per direction: the priority axis' face, by sign.
@@ -261,34 +258,51 @@ def tile_conv(
     # exceed HBM at vox10 scale. Per chunk they are ~400 MB transients.
     n_blocks = chunk // tb
 
-    call = pl.pallas_call(
-        kernel_fn,
-        grid=(B, n_blocks),
-        in_specs=[
-            pl.BlockSpec((1, tb, fc_in), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 26, tb, size * size * Cin),
-                         lambda b, i: (b, 0, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, cells_out), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            w_spec,
-            pl.BlockSpec((1, Cout), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, tb, cells_out * Cout),
-                               lambda b, i: (b, i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, chunk, cells_out * Cout),
-                                       out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((tb, size + 2, size + 2, size + 2, Cin), jnp.bfloat16),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )
+    core_spec = pl.BlockSpec((1, tb, fc_in), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, 26, tb, size * size * Cin),
+                          lambda b, i: (b, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, tb, cells_out), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, Cout), lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    scratch = [pltpu.VMEM((tb, size + 2, size + 2, size + 2, Cin),
+                          jnp.bfloat16)]
+
+    if transpose:
+        # Kernel emits un-interleaved (parent-cell, parity, Cout) rows
+        # in f32; interleave + bias + mask follow in XLA (Mosaic rejects
+        # the 8D relayout for Cout < 128).
+        pc = size**3
+        call = pl.pallas_call(
+            kernel_fn,
+            grid=(B, n_blocks),
+            in_specs=[core_spec, g_spec, w_spec],
+            out_specs=pl.BlockSpec((1, tb, pc * 8 * Cout),
+                                   lambda b, i: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, chunk, pc * 8 * Cout),
+                                           jnp.float32),
+            scratch_shapes=scratch,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )
+    else:
+        call = pl.pallas_call(
+            kernel_fn,
+            grid=(B, n_blocks),
+            in_specs=[core_spec, g_spec, mask_spec, w_spec, bias_spec],
+            out_specs=pl.BlockSpec((1, tb, cells_out * Cout),
+                                   lambda b, i: (b, i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, chunk, cells_out * Cout),
+                                           out_dtype),
+            scratch_shapes=scratch,
+            compiler_params=compiler_params,
+            interpret=interpret,
+        )
 
     def do_chunk(ci):
         start = ci * chunk
@@ -296,7 +310,15 @@ def tile_conv(
         m = jax.lax.dynamic_slice(maskp, (0, start, 0), (B, chunk, cells_out))
         nb = jax.lax.dynamic_slice(nbrp, (0, 0, start), (B, 26, chunk))
         g = _gather_faces(slab_cat, nb, rows_per_face)
-        return call(core, g, m, w, b_arr)
+        if not transpose:
+            return call(core, g, m, w, b_arr)
+        pc = size**3
+        raw = call(core, g, w)  # [B, chunk, pc*8*Cout] f32, u-major
+        child = raw.reshape(B, chunk, size, size, size, 2, 2, 2, Cout)
+        child = child.transpose(0, 1, 2, 5, 3, 6, 4, 7, 8)
+        out = child.reshape(B, chunk, cells_out, Cout) + b_arr[0]
+        out = out * m.astype(out.dtype)[..., None]
+        return out.astype(out_dtype).reshape(B, chunk, cells_out * Cout)
 
     if n_chunks == 1:
         out = do_chunk(0)
