@@ -93,7 +93,7 @@ def _paste_halo(halo_ref, core_ref, g_ref, size: int, cin: int, tb: int):
                  _halo_slice(d[2], size), :] = slab
 
 
-def _dense_kernel(core_ref, g_ref, mask_ref, w_ref, b_ref, out_ref, halo_ref,
+def _dense_kernel(core_ref, g_ref, w_ref, b_ref, out_ref, halo_ref,
                   *, tb: int, cin: int, cout: int, relu: bool, size: int):
     _paste_halo(halo_ref, core_ref, g_ref, size, cin, tb)
     h = halo_ref[:]
@@ -112,9 +112,10 @@ def _dense_kernel(core_ref, g_ref, mask_ref, w_ref, b_ref, out_ref, halo_ref,
                     preferred_element_type=jnp.float32,
                 )
                 ki += 1
-    # Stay 2D: Mosaic layouts break on [tb, cells, cout] for cout < 128.
+    # Stay 2D: Mosaic layouts break on [tb, cells, cout] and on the
+    # [M, 1] mask broadcast for cout < 128; the candidate-cell mask is
+    # applied in an XLA post-pass (mask∘relu == relu∘mask).
     out = acc + b_ref[0][None, :]
-    out = out * mask_ref[0].astype(jnp.float32).reshape(tb * cells, 1)
     if relu:
         out = jnp.maximum(out, 0.0)
     out_ref[0] = out.astype(out_ref.dtype).reshape(tb, cells * cout)
@@ -263,8 +264,6 @@ def tile_conv(
     g_spec = pl.BlockSpec((1, 26, tb, size * size * Cin),
                           lambda b, i: (b, 0, i, 0),
                           memory_space=pltpu.VMEM)
-    mask_spec = pl.BlockSpec((1, tb, cells_out), lambda b, i: (b, i, 0),
-                             memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, Cout), lambda b, i: (0, 0),
                              memory_space=pltpu.VMEM)
     compiler_params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -293,7 +292,7 @@ def tile_conv(
         call = pl.pallas_call(
             kernel_fn,
             grid=(B, n_blocks),
-            in_specs=[core_spec, g_spec, mask_spec, w_spec, bias_spec],
+            in_specs=[core_spec, g_spec, w_spec, bias_spec],
             out_specs=pl.BlockSpec((1, tb, cells_out * Cout),
                                    lambda b, i: (b, i, 0),
                                    memory_space=pltpu.VMEM),
@@ -311,7 +310,11 @@ def tile_conv(
         nb = jax.lax.dynamic_slice(nbrp, (0, 0, start), (B, 26, chunk))
         g = _gather_faces(slab_cat, nb, rows_per_face)
         if not transpose:
-            return call(core, g, m, w, b_arr)
+            raw = call(core, g, w, b_arr)
+            out = raw.reshape(B, chunk, cells_out, Cout) * (
+                m.astype(raw.dtype)[..., None]
+            )
+            return out.reshape(B, chunk, cells_out * Cout)
         pc = size**3
         raw = call(core, g, w)  # [B, chunk, pc*8*Cout] f32, u-major
         child = raw.reshape(B, chunk, size, size, size, 2, 2, 2, Cout)
