@@ -72,18 +72,23 @@ def _paste_halo(halo_ref, core_ref, g_ref, size: int, cin: int, tb: int):
     """Paste the core block and the 26 gathered face slabs into the
     [TB, size+2, size+2, size+2, Cin] VMEM halo scratch.
 
-    g_ref: [1, 26, TB, size^2 * Cin] — per direction, the face plane of
-    that neighbor (direction-major so the XLA gather needs no
-    transpose)."""
-    halo_ref[:, 1:size + 1, 1:size + 1, 1:size + 1, :] = (
-        core_ref[0].reshape(tb, size, size, size, cin)
-    )
+    core_ref: [1, TB, size, size, size, Cin]; g_ref: [1, 26, TB, size,
+    size, Cin] (per direction the neighbor's face plane). All refs keep
+    Cin as the lane dim — Mosaic rejects reshapes that change the minor
+    dimension for Cin < 128, so any flat<->spatial conversion happens in
+    XLA where reshapes are free metadata ops."""
+    halo_ref[:, 1:size + 1, 1:size + 1, 1:size + 1, :] = core_ref[0]
     full = slice(0, size)
     for di, d in enumerate(_DIRS):
         a = _face_axis(d)
-        fshape = [size, size, size]
-        fshape[a] = 1
-        face = g_ref[0, di].reshape((tb,) + tuple(fshape) + (cin,))
+        face2 = g_ref[0, di]  # [tb, size, size, cin]
+        # Insert the unit axis at the priority position (sublane-only).
+        if a == 0:
+            face = face2[:, None, :, :, :]
+        elif a == 1:
+            face = face2[:, :, None, :, :]
+        else:
+            face = face2[:, :, :, None, :]
         sl3 = [full, full, full]
         for ax in range(3):
             if ax != a:
@@ -112,13 +117,12 @@ def _dense_kernel(core_ref, g_ref, w_ref, b_ref, out_ref, halo_ref,
                     preferred_element_type=jnp.float32,
                 )
                 ki += 1
-    # Stay 2D: Mosaic layouts break on [tb, cells, cout] and on the
-    # [M, 1] mask broadcast for cout < 128; the candidate-cell mask is
+    # Lane dim stays cout throughout; the candidate-cell mask is
     # applied in an XLA post-pass (mask∘relu == relu∘mask).
     out = acc + b_ref[0][None, :]
     if relu:
         out = jnp.maximum(out, 0.0)
-    out_ref[0] = out.astype(out_ref.dtype).reshape(tb, cells * cout)
+    out_ref[0] = out.astype(out_ref.dtype).reshape(tb, cells, cout)
 
 
 def _transpose_kernel(core_ref, g_ref, w_ref, out_ref,
@@ -144,7 +148,7 @@ def _transpose_kernel(core_ref, g_ref, w_ref, out_ref,
                     preferred_element_type=jnp.float32,
                 )
                 wi += 1
-    out_ref[0] = child.astype(out_ref.dtype).reshape(tb, pc * 8 * cout)
+    out_ref[0] = child.astype(out_ref.dtype).reshape(tb, pc, 8 * cout)
 
 
 # Face-array index per direction: the priority axis' face, by sign.
@@ -259,10 +263,15 @@ def tile_conv(
     # exceed HBM at vox10 scale. Per chunk they are ~400 MB transients.
     n_blocks = chunk // tb
 
-    core_spec = pl.BlockSpec((1, tb, fc_in), lambda b, i: (b, i, 0),
+    # All blocks keep Cin/Cout as the lane dimension (6D core/face
+    # blocks): Mosaic rejects reshapes that change the minor dim for
+    # widths < 128, while XLA-side reshapes between the flat and
+    # spatial layouts are free metadata ops.
+    core_spec = pl.BlockSpec((1, tb, size, size, size, Cin),
+                             lambda b, i: (b, i, 0, 0, 0, 0),
                              memory_space=pltpu.VMEM)
-    g_spec = pl.BlockSpec((1, 26, tb, size * size * Cin),
-                          lambda b, i: (b, 0, i, 0),
+    g_spec = pl.BlockSpec((1, 26, tb, size, size, Cin),
+                          lambda b, i: (b, 0, i, 0, 0, 0),
                           memory_space=pltpu.VMEM)
     bias_spec = pl.BlockSpec((1, Cout), lambda b, i: (0, 0),
                              memory_space=pltpu.VMEM)
@@ -279,10 +288,10 @@ def tile_conv(
             kernel_fn,
             grid=(B, n_blocks),
             in_specs=[core_spec, g_spec, w_spec],
-            out_specs=pl.BlockSpec((1, tb, pc * 8 * Cout),
-                                   lambda b, i: (b, i, 0),
+            out_specs=pl.BlockSpec((1, tb, pc, 8 * Cout),
+                                   lambda b, i: (b, i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, chunk, pc * 8 * Cout),
+            out_shape=jax.ShapeDtypeStruct((B, chunk, pc, 8 * Cout),
                                            jnp.float32),
             scratch_shapes=scratch,
             compiler_params=compiler_params,
@@ -293,10 +302,10 @@ def tile_conv(
             kernel_fn,
             grid=(B, n_blocks),
             in_specs=[core_spec, g_spec, w_spec, bias_spec],
-            out_specs=pl.BlockSpec((1, tb, cells_out * Cout),
-                                   lambda b, i: (b, i, 0),
+            out_specs=pl.BlockSpec((1, tb, cells_out, Cout),
+                                   lambda b, i: (b, i, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, chunk, cells_out * Cout),
+            out_shape=jax.ShapeDtypeStruct((B, chunk, cells_out, Cout),
                                            out_dtype),
             scratch_shapes=scratch,
             compiler_params=compiler_params,
@@ -306,17 +315,16 @@ def tile_conv(
     def do_chunk(ci):
         start = ci * chunk
         core = jax.lax.dynamic_slice(xp, (0, start, 0), (B, chunk, fc_in))
+        core6 = core.reshape(B, chunk, size, size, size, Cin)
         m = jax.lax.dynamic_slice(maskp, (0, start, 0), (B, chunk, cells_out))
         nb = jax.lax.dynamic_slice(nbrp, (0, 0, start), (B, 26, chunk))
         g = _gather_faces(slab_cat, nb, rows_per_face)
+        g6 = g.reshape(B, 26, chunk, size, size, Cin)
         if not transpose:
-            raw = call(core, g, w, b_arr)
-            out = raw.reshape(B, chunk, cells_out, Cout) * (
-                m.astype(raw.dtype)[..., None]
-            )
+            raw = call(core6, g6, w, b_arr)  # [B, chunk, cells, Cout]
+            out = raw * m.astype(raw.dtype)[..., None]
             return out.reshape(B, chunk, cells_out * Cout)
-        pc = size**3
-        raw = call(core, g, w)  # [B, chunk, pc*8*Cout] f32, u-major
+        raw = call(core6, g6, w)  # [B, chunk, pc, 8*Cout] f32, u-major
         child = raw.reshape(B, chunk, size, size, size, 2, 2, 2, Cout)
         child = child.transpose(0, 1, 2, 5, 3, 6, 4, 7, 8)
         out = child.reshape(B, chunk, cells_out, Cout) + b_arr[0]
