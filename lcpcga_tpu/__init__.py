@@ -17,7 +17,25 @@ __version__ = "0.1.0"
 # $LCPCGA_NO_COMPILE_CACHE.
 import os as _os
 
-if not _os.environ.get("LCPCGA_NO_COMPILE_CACHE"):
+
+def _cache_platform_ok() -> bool:
+    """Only persist compiled executables for TPU backends.
+
+    XLA:CPU AOT entries bake in the compile machine's CPU features;
+    loading them on a different host fails the feature check (or risks
+    SIGILL) and re-compiles every program — which is what timed out the
+    round-2 multichip dryrun. The CPU paths (tests, virtual-device
+    dryruns) compile fast anyway, so the cache only helps on TPU.
+    """
+    plats = _os.environ.get("JAX_PLATFORMS", "")
+    if plats and all(p.strip() in ("cpu",) for p in plats.split(",") if p.strip()):
+        return False
+    if "host_platform_device_count" in _os.environ.get("XLA_FLAGS", ""):
+        return False
+    return True
+
+
+if not _os.environ.get("LCPCGA_NO_COMPILE_CACHE") and _cache_platform_ok():
     try:
         import jax as _jax
 

@@ -50,6 +50,19 @@ def _channel_indexes(n: int, c: int) -> np.ndarray:
     return np.tile(np.arange(c, dtype=np.int32), n)
 
 
+def _frac_pct(name: str, frac: float) -> int:
+    """Tile fractions ride as whole percents in the header; a fraction
+    the u8 percent can't represent exactly would reconstruct a decoder
+    with different buffer sizes, so refuse at encode time."""
+    pct = int(round(frac * 100))
+    if abs(frac * 100 - pct) > 1e-6:
+        raise ValueError(
+            f"capacity fraction {name}={frac} is not representable at "
+            f"1/100 resolution; pick a whole-percent fraction"
+        )
+    return pct
+
+
 def capacities_for_stream(stream) -> "Capacities":
     """Reconstruct the encoder's FULL capacity profile (row caps,
     candidate factor, tile fractions — every buffer-sizing knob of the
@@ -494,9 +507,9 @@ class PointCloudCodec:
         # y stream: only the uint8 indexes come down and only int16
         # residuals go back up; the f32 add happens on device (the same
         # IEEE f32 add as the host path — int16-exact values + means).
-        idx_np = np.asarray(
-            jax.jit(lambda i: i.astype(jnp.uint8))(indexes)[0, :n_y]
-        ).astype(np.int32)
+        if not hasattr(self, "_idx_u8_fn"):
+            self._idx_u8_fn = jax.jit(lambda i: i.astype(jnp.uint8))
+        idx_np = np.asarray(self._idx_u8_fn(indexes)[0, :n_y]).astype(np.int32)
         cb = means.shape[-1]
         v_y = rans_decode(stream.y_payload, idx_np.ravel(), self.tables_y).reshape(n_y, cb)
         if np.abs(v_y).max(initial=0) <= 32000:
@@ -600,6 +613,11 @@ class PointCloudCodec:
         sweeps run ONCE over the whole batch.
         """
         self._require_tables()
+        if self.model.separate_q_model:
+            raise NotImplementedError(
+                "compress_batch does not serialize the separate_q_model "
+                "q/qz streams yet; use compress() per frame"
+            )
         B = len(frames)
         cap = self.caps.cap(1)
         if not isinstance(qs, list):
@@ -688,6 +706,11 @@ class PointCloudCodec:
         """Inverse of compress_batch: decode N streams with ONE batched
         parameter sweep + synthesis. Returns [(coords, colors), ...]."""
         self._require_tables()
+        if self.model.separate_q_model:
+            raise NotImplementedError(
+                "decompress_batch does not decode the separate_q_model "
+                "q/qz streams yet; use decompress() per frame"
+            )
         B = len(streams)
         cap8 = self.caps.cap(LATENT_STRIDE)
         capz = self.caps.cap(Z_STRIDE)

@@ -61,6 +61,18 @@ class Bitstream:
     qz_payload: bytes = b""
     qz_length: int = 0
 
+    @staticmethod
+    def _u8(name: str, v: int) -> int:
+        """Capacity-profile fields ride in one byte; wrapping or
+        clamping would reconstruct a decoder with SMALLER buffers than
+        the encoder compiled with, so fail at encode time instead."""
+        if not 0 <= v <= 255:
+            raise ValueError(
+                f"bitstream header field {name}={v} does not fit in u8; "
+                f"capacity profile is not serializable"
+            )
+        return v
+
     def to_bytes(self) -> bytes:
         caps = tuple(self.caps) if self.caps else (0,) * 6
         assert len(caps) == 6, caps
@@ -83,10 +95,10 @@ class Bitstream:
             self.k[1],
             self.k[2],
             *caps,
-            self.cand_factor & 0xFF,
-            min(self.tile_pct, 255),
-            min(self.same_tile_pct, 255),
-            min(self.post_tile_pct, 255),
+            self._u8("cand_factor", self.cand_factor),
+            self._u8("tile_pct", self.tile_pct),
+            self._u8("same_tile_pct", self.same_tile_pct),
+            self._u8("post_tile_pct", self.post_tile_pct),
         )
         return (head + self.points_payload + self.y_payload + self.z_payload
                 + self.q_payload + self.qz_payload)

@@ -13,7 +13,11 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# XLA:CPU AOT cache entries bake in host CPU features; never persist
+# (or load) them from the shared cache dir (see lcpcga_tpu/__init__.py).
+os.environ["LCPCGA_NO_COMPILE_CACHE"] = "1"
 
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", None)
