@@ -21,6 +21,7 @@
 #include <cstring>
 #include <vector>
 #include <algorithm>
+#include <unordered_map>
 
 namespace {
 
@@ -211,17 +212,25 @@ struct BinEncoder {
   uint32_t range = 0xFFFFFFFFu;
 
   inline void encode(int bit, uint16_t* prob) {
+    encode_p(bit, *prob);
+    if (bit == 0)
+      *prob += (65536 - *prob) >> 5;
+    else
+      *prob -= *prob >> 5;
+  }
+
+  // Code one bit against a fixed probability (no adaptation here;
+  // callers owning mixed-context models adapt their tables themselves).
+  inline void encode_p(int bit, uint16_t prob) {
     // prob = P(bit==0) in [1, 2^16-1]
-    uint32_t split = (static_cast<uint64_t>(range) * (*prob)) >> 16;
+    uint32_t split = (static_cast<uint64_t>(range) * prob) >> 16;
     if (bit == 0) {
       range = split;
-      *prob += (65536 - *prob) >> 5;
     } else {
       uint32_t add = split + 1;
       low += add;
       if (low < add) carry();  // propagate carry
       range -= add;
-      *prob -= *prob >> 5;
     }
     while (range < (1u << 24)) {
       out.push_back(static_cast<uint8_t>(low >> 24));
@@ -262,17 +271,24 @@ struct BinDecoder {
   }
 
   inline int decode(uint16_t* prob) {
-    uint32_t split = (static_cast<uint64_t>(range) * (*prob)) >> 16;
+    int bit = decode_p(*prob);
+    if (bit == 0)
+      *prob += (65536 - *prob) >> 5;
+    else
+      *prob -= *prob >> 5;
+    return bit;
+  }
+
+  inline int decode_p(uint16_t prob) {
+    uint32_t split = (static_cast<uint64_t>(range) * prob) >> 16;
     int bit;
     if (code <= split) {
       bit = 0;
       range = split;
-      *prob += (65536 - *prob) >> 5;
     } else {
       bit = 1;
       code -= split + 1;
       range -= split + 1;
-      *prob -= *prob >> 5;
     }
     while (range < (1u << 24)) {
       code = (code << 8) | (pos < len ? in[pos++] : 0);
@@ -282,87 +298,151 @@ struct BinDecoder {
   }
 };
 
-// Context model for one octree occupancy bit: (level capped, child
-// octant, number of already-coded occupied siblings capped at 3,
-// parent octant). The parent octant captures surface orientation
-// continuity across levels — worth ~15-25% rate on smooth surfaces.
+// Context model for one octree occupancy bit. Coding is breadth-first
+// (level-sequential), so BOTH sides know the complete set of occupied
+// nodes at the current level before any of its children bits are coded
+// — the context can therefore use the node's full (non-causal)
+// 6-face-neighbor occupancy pattern, the strongest predictor of where
+// a surface continues. This is the same class of context tmc3's
+// neighbour-pattern occupancy coding uses
+// (/root/reference/model/model.py:318-395 shells out to tmc3 for
+// exactly this job); implementation here is original and in-process.
+//
+// Three probability tables are mixed with visit-count confidence
+// weights, so sparse contexts fall back to well-visited coarse ones
+// (a typical latent cloud codes only ~100k bits against the 16k-row
+// fine table — plain use of the fine table alone dilutes):
+//   coarse: (level, child octant, occupied-siblings-so-far, parent octant)
+//   fine:   (level, child octant, occ-so-far, 64 face-neighbor patterns)
+//   sib:    (level, partial occupancy byte (1<<c)|prev_bits — the full
+//           already-coded sibling pattern, 256 states)
 constexpr int kMaxLevelCtx = 8;
-constexpr int kNumCtx = kMaxLevelCtx * 8 * 4 * 9;
+constexpr int kNumCoarse = kMaxLevelCtx * 8 * 4 * 9;
+constexpr int kNumFine = kMaxLevelCtx * 8 * 4 * 64;
+constexpr int kNumSib = kMaxLevelCtx * 256;
+constexpr int kNumAdj = kMaxLevelCtx * 8 * 27;
 
-inline int ctx_index(int level, int child, int occ_so_far, int parent_child) {
-  int l = level < kMaxLevelCtx ? level : kMaxLevelCtx - 1;
+inline int lvl_cap(int level) {
+  return level < kMaxLevelCtx ? level : kMaxLevelCtx - 1;
+}
+
+inline int coarse_index(int level, int child, int occ_so_far, int parent_child) {
   int o = occ_so_far < 3 ? occ_so_far : 3;
-  return ((l * 8 + child) * 4 + o) * 9 + (parent_child + 1);
+  return ((lvl_cap(level) * 8 + child) * 4 + o) * 9 + (parent_child + 1);
+}
+
+inline int fine_index(int level, int child, int occ_so_far, int nbr6) {
+  int o = occ_so_far < 3 ? occ_so_far : 3;
+  return ((lvl_cap(level) * 8 + child) * 4 + o) * 64 + nbr6;
+}
+
+inline int sib_index(int level, int child, int prev_bits) {
+  return lvl_cap(level) * 256 + ((1 << child) | prev_bits);
+}
+
+inline int adj_index(int level, int child, int adj3) {
+  return (lvl_cap(level) * 8 + child) * 27 + adj3;
+}
+
+struct CtxTable {
+  std::vector<uint16_t> prob;
+  std::vector<uint8_t> count;
+  explicit CtxTable(int n) : prob(n, 32768), count(n, 0) {}
+
+  inline uint32_t weight(int i) const {
+    uint32_t c = count[i];
+    return 1 + (c < 48 ? c : 48);
+  }
+
+  inline void adapt(int i, int bit) {
+    // Faster adaptation while young (shift 4), slower when mature.
+    int shift = count[i] < 16 ? 4 : 5;
+    if (bit == 0)
+      prob[i] += (65536 - prob[i]) >> shift;
+    else
+      prob[i] -= prob[i] >> shift;
+    if (count[i] < 255) ++count[i];
+  }
+};
+
+inline uint16_t mix4(const CtxTable& tc, int ic, const CtxTable& tf, int if_,
+                     const CtxTable& ts, int is_, const CtxTable& ta, int ia) {
+  uint64_t wc = tc.weight(ic), wf = 6 * tf.weight(if_), ws = 3 * ts.weight(is_),
+           wa = 16 * ta.weight(ia);
+  uint64_t num = wc * tc.prob[ic] + wf * tf.prob[if_] + ws * ts.prob[is_] +
+                 wa * ta.prob[ia];
+  uint32_t p = static_cast<uint32_t>(num / (wc + wf + ws + wa));
+  if (p < 1) p = 1;
+  if (p > 65535) p = 65535;
+  return static_cast<uint16_t>(p);
 }
 
 struct Key3 {
   int32_t x, y, z;
 };
 
-// Depth-first octree encode over a Morton-sorted coordinate range.
-void octree_encode_rec(BinEncoder& enc, std::vector<uint16_t>& probs,
-                       const Key3* pts, int lo, int hi, int level, int depth,
-                       int32_t cx, int32_t cy, int32_t cz, int parent_child) {
-  if (level == depth) return;  // leaf: single voxel
-  int shift = depth - 1 - level;
-  int child_lo[9];
-  child_lo[0] = lo;
-  // Partition points among the 8 children (points are Morton-sorted,
-  // so each child's points are contiguous).
-  int idx = lo;
-  for (int c = 0; c < 8; ++c) {
-    while (idx < hi) {
-      const Key3& p = pts[idx];
-      int cc = (((p.x >> shift) & 1) << 2) | (((p.y >> shift) & 1) << 1) |
-               ((p.z >> shift) & 1);
-      if (cc != c) break;
-      ++idx;
-    }
-    child_lo[c + 1] = idx;
-  }
-  int occ = 0;
-  for (int c = 0; c < 8; ++c) {
-    int bit = child_lo[c + 1] > child_lo[c] ? 1 : 0;
-    enc.encode(bit, &probs[ctx_index(level, c, occ, parent_child)]);
-    occ += bit;
-  }
-  for (int c = 0; c < 8; ++c) {
-    if (child_lo[c + 1] > child_lo[c]) {
-      octree_encode_rec(enc, probs, pts, child_lo[c], child_lo[c + 1],
-                        level + 1, depth,
-                        (cx << 1) | ((c >> 2) & 1), (cy << 1) | ((c >> 1) & 1),
-                        (cz << 1) | (c & 1), c);
-    }
-  }
+struct OctNode {
+  int lo, hi;        // encoder: point range (unused on decode)
+  int32_t x, y, z;   // node coords at its level
+  int8_t parent_child;
+};
+
+inline uint64_t pack_node(int32_t x, int32_t y, int32_t z) {
+  return (static_cast<uint64_t>(static_cast<uint32_t>(x)) << 42) |
+         (static_cast<uint64_t>(static_cast<uint32_t>(y)) << 21) |
+         static_cast<uint64_t>(static_cast<uint32_t>(z));
 }
 
-int octree_decode_rec(BinDecoder& dec, std::vector<uint16_t>& probs,
-                      int level, int depth, int32_t cx, int32_t cy, int32_t cz,
-                      int32_t* out, int cap, int count, int parent_child) {
-  if (level == depth) {
-    if (count >= cap) return -1;
-    out[count * 3 + 0] = cx;
-    out[count * 3 + 1] = cy;
-    out[count * 3 + 2] = cz;
-    return count + 1;
+// Sorted packed keys of every occupied node at the current level, for
+// O(log N) face-neighbor membership tests.
+inline int nbr6_pattern(const std::vector<uint64_t>& keys, int32_t x,
+                        int32_t y, int32_t z, int32_t hi) {
+  static const int32_t D[6][3] = {{-1, 0, 0}, {1, 0, 0},  {0, -1, 0},
+                                  {0, 1, 0},  {0, 0, -1}, {0, 0, 1}};
+  int pat = 0;
+  for (int i = 0; i < 6; ++i) {
+    int32_t nx = x + D[i][0], ny = y + D[i][1], nz = z + D[i][2];
+    if (nx < 0 || ny < 0 || nz < 0 || nx > hi || ny > hi || nz > hi) continue;
+    if (std::binary_search(keys.begin(), keys.end(), pack_node(nx, ny, nz)))
+      pat |= 1 << i;
   }
-  int bits[8];
-  int occ = 0;
-  for (int c = 0; c < 8; ++c) {
-    bits[c] = dec.decode(&probs[ctx_index(level, c, occ, parent_child)]);
-    occ += bits[c];
-  }
-  for (int c = 0; c < 8; ++c) {
-    if (bits[c]) {
-      count = octree_decode_rec(dec, probs, level + 1, depth,
-                                (cx << 1) | ((c >> 2) & 1),
-                                (cy << 1) | ((c >> 1) & 1),
-                                (cz << 1) | (c & 1), out, cap, count, c);
-      if (count < 0) return count;
-    }
-  }
-  return count;
+  return pat;
 }
+
+// Per-axis state of the three abutting child voxels in the negative
+// directions (all causally coded in Morton order: a -x/-y/-z face
+// neighbor with equal remaining coords always has a smaller Morton
+// code). 0 = region empty at the parent level, 1 = abutting child
+// empty, 2 = abutting child occupied.
+inline int adj3_state(int32_t x, int32_t y, int32_t z, int c, int prev_bits,
+                      const std::unordered_map<uint64_t, uint8_t>& bytes) {
+  static const int kBit[3] = {4, 2, 1};
+  int s = 0;
+  for (int a = 0; a < 3; ++a) {
+    int state;
+    if (c & kBit[a]) {
+      // Abutting voxel is the sibling with this axis bit cleared
+      // (smaller child index -> already in prev_bits).
+      state = 1 + ((prev_bits >> (c & ~kBit[a])) & 1);
+    } else {
+      int32_t nx = x - (a == 0), ny = y - (a == 1), nz = z - (a == 2);
+      if (nx < 0 || ny < 0 || nz < 0) {
+        state = 0;
+      } else {
+        auto it = bytes.find(pack_node(nx, ny, nz));
+        state = it == bytes.end() ? 0 : 1 + ((it->second >> (c | kBit[a])) & 1);
+      }
+    }
+    s = s * 3 + state;
+  }
+  return s;
+}
+
+struct OctContexts {
+  CtxTable coarse, fine, sib, adj;
+  OctContexts()
+      : coarse(kNumCoarse), fine(kNumFine), sib(kNumSib), adj(kNumAdj) {}
+};
 
 }  // namespace
 
@@ -374,7 +454,7 @@ int octree_encode(const int32_t* coords, int n, int depth, uint8_t* out,
   for (int i = 0; i < n; ++i)
     pts[i] = {coords[i * 3], coords[i * 3 + 1], coords[i * 3 + 2]};
   // Morton order sort (bit-interleaved x,y,z — x most significant, the
-  // recursion's child enumeration order).
+  // child enumeration order of the level sweep).
   std::sort(pts.begin(), pts.end(), [depth](const Key3& a, const Key3& b) {
     for (int s = depth - 1; s >= 0; --s) {
       int ca = (((a.x >> s) & 1) << 2) | (((a.y >> s) & 1) << 1) | ((a.z >> s) & 1);
@@ -384,8 +464,63 @@ int octree_encode(const int32_t* coords, int n, int depth, uint8_t* out,
     return false;
   });
   BinEncoder enc;
-  std::vector<uint16_t> probs(kNumCtx, 32768);
-  octree_encode_rec(enc, probs, pts.data(), 0, n, 0, depth, 0, 0, 0, -1);
+  OctContexts ctx;
+  std::vector<OctNode> cur = {{0, n, 0, 0, 0, -1}}, next;
+  for (int level = 0; level < depth; ++level) {
+    int shift = depth - 1 - level;
+    std::vector<uint64_t> keys;
+    keys.reserve(cur.size());
+    for (const OctNode& nd : cur) keys.push_back(pack_node(nd.x, nd.y, nd.z));
+    std::sort(keys.begin(), keys.end());
+    int32_t hi_coord = (level == 0) ? 0 : ((1 << level) - 1);
+    std::unordered_map<uint64_t, uint8_t> bytes;
+    bytes.reserve(cur.size() * 2);
+    next.clear();
+    for (const OctNode& nd : cur) {
+      int child_lo[9];
+      child_lo[0] = nd.lo;
+      int idx = nd.lo;
+      for (int c = 0; c < 8; ++c) {
+        while (idx < nd.hi) {
+          const Key3& p = pts[idx];
+          int cc = (((p.x >> shift) & 1) << 2) | (((p.y >> shift) & 1) << 1) |
+                   ((p.z >> shift) & 1);
+          if (cc != c) break;
+          ++idx;
+        }
+        child_lo[c + 1] = idx;
+      }
+      int nbr = nbr6_pattern(keys, nd.x, nd.y, nd.z, hi_coord);
+      int occ = 0, prev_bits = 0;
+      for (int c = 0; c < 8; ++c) {
+        int bit = child_lo[c + 1] > child_lo[c] ? 1 : 0;
+        int ic = coarse_index(level, c, occ, nd.parent_child);
+        int if_ = fine_index(level, c, occ, nbr);
+        int is_ = sib_index(level, c, prev_bits);
+        int ia = adj_index(level, c,
+                           adj3_state(nd.x, nd.y, nd.z, c, prev_bits, bytes));
+        enc.encode_p(bit, mix4(ctx.coarse, ic, ctx.fine, if_, ctx.sib, is_,
+                               ctx.adj, ia));
+        ctx.coarse.adapt(ic, bit);
+        ctx.fine.adapt(if_, bit);
+        ctx.sib.adapt(is_, bit);
+        ctx.adj.adapt(ia, bit);
+        occ += bit;
+        prev_bits |= bit << c;
+      }
+      bytes.emplace(pack_node(nd.x, nd.y, nd.z),
+                    static_cast<uint8_t>(prev_bits));
+      for (int c = 0; c < 8; ++c) {
+        if (child_lo[c + 1] > child_lo[c]) {
+          next.push_back({child_lo[c], child_lo[c + 1],
+                          (nd.x << 1) | ((c >> 2) & 1),
+                          (nd.y << 1) | ((c >> 1) & 1),
+                          (nd.z << 1) | (c & 1), static_cast<int8_t>(c)});
+        }
+      }
+    }
+    cur.swap(next);
+  }
   enc.finish();
   if (static_cast<int>(enc.out.size()) > out_capacity) return -1;
   std::memcpy(out, enc.out.data(), enc.out.size());
@@ -398,9 +533,56 @@ int octree_decode(const uint8_t* in, int in_len, int depth, int32_t* coords_out,
   if (in_len <= 0) return 0;
   BinDecoder dec;
   dec.init(in, in_len);
-  std::vector<uint16_t> probs(kNumCtx, 32768);
-  return octree_decode_rec(dec, probs, 0, depth, 0, 0, 0, coords_out,
-                           out_capacity, 0, -1);
+  OctContexts ctx;
+  std::vector<OctNode> cur = {{0, 0, 0, 0, 0, -1}}, next;
+  for (int level = 0; level < depth; ++level) {
+    std::vector<uint64_t> keys;
+    keys.reserve(cur.size());
+    for (const OctNode& nd : cur) keys.push_back(pack_node(nd.x, nd.y, nd.z));
+    std::sort(keys.begin(), keys.end());
+    int32_t hi_coord = (level == 0) ? 0 : ((1 << level) - 1);
+    std::unordered_map<uint64_t, uint8_t> bytes;
+    bytes.reserve(cur.size() * 2);
+    next.clear();
+    for (const OctNode& nd : cur) {
+      int nbr = nbr6_pattern(keys, nd.x, nd.y, nd.z, hi_coord);
+      int occ = 0, prev_bits = 0;
+      int bits[8];
+      for (int c = 0; c < 8; ++c) {
+        int ic = coarse_index(level, c, occ, nd.parent_child);
+        int if_ = fine_index(level, c, occ, nbr);
+        int is_ = sib_index(level, c, prev_bits);
+        int ia = adj_index(level, c,
+                           adj3_state(nd.x, nd.y, nd.z, c, prev_bits, bytes));
+        bits[c] = dec.decode_p(mix4(ctx.coarse, ic, ctx.fine, if_, ctx.sib,
+                                    is_, ctx.adj, ia));
+        ctx.coarse.adapt(ic, bits[c]);
+        ctx.fine.adapt(if_, bits[c]);
+        ctx.sib.adapt(is_, bits[c]);
+        ctx.adj.adapt(ia, bits[c]);
+        occ += bits[c];
+        prev_bits |= bits[c] << c;
+      }
+      bytes.emplace(pack_node(nd.x, nd.y, nd.z),
+                    static_cast<uint8_t>(prev_bits));
+      for (int c = 0; c < 8; ++c) {
+        if (bits[c]) {
+          next.push_back({0, 0, (nd.x << 1) | ((c >> 2) & 1),
+                          (nd.y << 1) | ((c >> 1) & 1),
+                          (nd.z << 1) | (c & 1), static_cast<int8_t>(c)});
+        }
+      }
+    }
+    if (static_cast<int>(next.size()) > out_capacity) return -1;
+    cur.swap(next);
+  }
+  if (static_cast<int>(cur.size()) > out_capacity) return -1;
+  for (size_t i = 0; i < cur.size(); ++i) {
+    coords_out[i * 3 + 0] = cur[i].x;
+    coords_out[i * 3 + 1] = cur[i].y;
+    coords_out[i * 3 + 2] = cur[i].z;
+  }
+  return static_cast<int>(cur.size());
 }
 
 }  // extern "C"
