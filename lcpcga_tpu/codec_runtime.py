@@ -227,6 +227,11 @@ class PointCloudCodec:
         self._encode_z = encode_z_fn
         self._decode_params = decode_params_fn
         self._synthesis = synthesis_fn
+        # Individual stage programs (profiling / staged drivers).
+        self._synth_a = synth_a_fn
+        self._synth_b = synth_b_fn
+        self._synth_c = synth_c_fn
+        self._synth_d = synth_d_fn
 
     # -- update(): bake CDF tables (/root/reference/model/model.py:30-36) --
 

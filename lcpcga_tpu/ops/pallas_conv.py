@@ -151,6 +151,181 @@ def _transpose_kernel(core_ref, g_ref, w_ref, out_ref,
     out_ref[0] = child.astype(out_ref.dtype).reshape(tb, pc, 8 * cout)
 
 
+def _dense2_kernel(core_ref, g_ref, w_ref, b_ref, out_ref, halo_ref,
+                   *, tb: int, cin: int, cout: int, relu: bool, size: int):
+    """2^3-support conv (offsets {-1,0}^3) on space-to-depth packed
+    tiles — the packed form of a 3^3/stride-2 sparse conv
+    (ops/tiles.dense_conv2 / pack_stride2_kernel). Only the LOW-side
+    halo exists: core pastes at [1:size+1]^3 of a (size+1)^3 halo and
+    the 7 low-direction slabs fill the rest."""
+    full = slice(0, size)
+    halo_ref[:, 1:size + 1, 1:size + 1, 1:size + 1, :] = core_ref[0]
+    for di, d in enumerate(_LOW_DIRS):
+        a = _face_axis(d)
+        face2 = g_ref[0, di]  # [tb, size, size, cin]
+        if a == 0:
+            face = face2[:, None, :, :, :]
+        elif a == 1:
+            face = face2[:, :, None, :, :]
+        else:
+            face = face2[:, :, :, None, :]
+        sl3 = [full, full, full]
+        for ax in range(3):
+            if ax != a:
+                sl3[ax] = _slab_slice(d[ax], size)
+        slab = face[:, sl3[0], sl3[1], sl3[2], :]
+        halo_ref[:, _low_halo_slice(d[0], size), _low_halo_slice(d[1], size),
+                 _low_halo_slice(d[2], size), :] = slab
+    h = halo_ref[:]
+    cells = size**3
+    acc = jnp.zeros((tb * cells, cout), jnp.float32)
+    ti = 0
+    for sx in (0, 1):
+        for sy in (0, 1):
+            for sz in (0, 1):
+                win = h[:, sx:sx + size, sy:sy + size, sz:sz + size, :]
+                acc = acc + jnp.dot(
+                    win.reshape(tb * cells, cin), w_ref[ti],
+                    preferred_element_type=jnp.float32,
+                )
+                ti += 1
+    out = acc + b_ref[0][None, :]
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    out_ref[0] = out.astype(out_ref.dtype).reshape(tb, cells, cout)
+
+
+_LOW_DIRS = [d for d in _DIRS if all(v <= 0 for v in d)]  # 7 low dirs
+
+
+def _low_halo_slice(dv: int, size: int) -> slice:
+    if dv == -1:
+        return slice(0, 1)
+    return slice(1, size + 1)
+
+
+# Low-face array index per low direction (3 face arrays: axis 0..2, sign -1).
+_LOW_DIR_FACE = np.array([_face_axis(d) for d in _LOW_DIRS], np.int32)
+
+
+def _gather_low_faces(slab_cat, nbr_chunk, rows_per_face: int):
+    """One fused gather of the 7 low directions' face rows.
+
+    slab_cat: [B, 3 * rows_per_face, fc]; nbr_chunk: [B, 7, CH] rows.
+    Returns [B, 7, CH, fc]."""
+    B, _, CH = nbr_chunk.shape
+    fc = slab_cat.shape[-1]
+    off = jnp.asarray(_LOW_DIR_FACE * rows_per_face)
+    idx = (nbr_chunk + off[None, :, None]).reshape(B, -1)
+    g = jax.vmap(lambda arr, r: jnp.take(arr, r, axis=0))(slab_cat, idx)
+    return g.reshape(B, 7, CH, fc)
+
+
+def tile_conv2(
+    feats: jax.Array,
+    nbr_rows: jax.Array,
+    kernel8: jax.Array,
+    bias: Optional[jax.Array],
+    mask: jax.Array,
+    size: int = 4,
+    relu: bool = False,
+    out_dtype=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused 2^3-support packed conv. feats [B, Nt, size^3*Cin];
+    nbr_rows [B, 26, Nt] (full table, low dirs are selected here);
+    kernel8 [8, Cin, Cout] (pack_stride2_kernel layout); mask
+    [B, Nt, size^3]. Returns [B, Nt, size^3 * Cout]."""
+    from . import tiles as TL
+
+    B, Nt, FC = feats.shape
+    Cin = kernel8.shape[1]
+    Cout = kernel8.shape[-1]
+    assert FC == size**3 * Cin, (FC, size, Cin)
+    cells = size**3
+    out_dtype = out_dtype or feats.dtype
+    tb = BLOCK_TILES
+
+    chunk = min(CHUNK_TILES, ((Nt + tb - 1) // tb) * tb)
+    n_chunks = -(-Nt // chunk)
+    Ntp = n_chunks * chunk
+    x = feats.astype(jnp.bfloat16)
+    xp = jnp.pad(x, ((0, 0), (0, Ntp - Nt), (0, 0)))
+    # Select the 7 low directions out of the 26-direction table.
+    low_idx = np.array([_DIRS.index(d) for d in _LOW_DIRS], np.int32)
+    nbr_low = nbr_rows[:, low_idx]
+    nbrp = jnp.pad(
+        nbr_low, ((0, 0), (0, 0), (0, Ntp - Nt)), constant_values=Nt
+    )
+    nbrp = jnp.where(nbrp < Nt, nbrp, Ntp)
+    maskp = jnp.pad(mask.astype(jnp.bfloat16), ((0, 0), (0, Ntp - Nt), (0, 0)))
+
+    # Low faces only (3 arrays), zero miss row at Ntp.
+    xs = xp.reshape(B, Ntp, size, size, size, Cin)
+    full = slice(0, size)
+    slabs = []
+    for axis in range(3):
+        sl3 = [full, full, full]
+        sl3[axis] = TL._slab_slice(-1, size)
+        sl = xs[:, :, sl3[0], sl3[1], sl3[2]].reshape(B, Ntp, -1)
+        slabs.append(jnp.concatenate([sl, jnp.zeros_like(sl[:, :1])], axis=1))
+    slab_cat = jnp.concatenate(slabs, axis=1)
+    rows_per_face = Ntp + 1
+
+    w = kernel8.astype(jnp.bfloat16)
+    b_arr = (bias if bias is not None else jnp.zeros(Cout)).astype(
+        jnp.float32
+    ).reshape(1, Cout)
+
+    kernel_fn = functools.partial(
+        _dense2_kernel, tb=tb, cin=Cin, cout=Cout, relu=relu, size=size
+    )
+    core_spec = pl.BlockSpec((1, tb, size, size, size, Cin),
+                             lambda b, i: (b, i, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    g_spec = pl.BlockSpec((1, 7, tb, size, size, Cin),
+                          lambda b, i: (b, 0, i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((8, Cin, Cout), lambda b, i: (0, 0, 0),
+                          memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((1, Cout), lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    n_blocks = chunk // tb
+    call = pl.pallas_call(
+        kernel_fn,
+        grid=(B, n_blocks),
+        in_specs=[core_spec, g_spec, w_spec, bias_spec],
+        out_specs=pl.BlockSpec((1, tb, cells, Cout),
+                               lambda b, i: (b, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, chunk, cells, Cout), out_dtype),
+        scratch_shapes=[pltpu.VMEM((tb, size + 1, size + 1, size + 1, Cin),
+                                   jnp.bfloat16)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    fc_in = cells * Cin
+
+    def do_chunk(ci):
+        start = ci * chunk
+        core = jax.lax.dynamic_slice(xp, (0, start, 0), (B, chunk, fc_in))
+        core6 = core.reshape(B, chunk, size, size, size, Cin)
+        m = jax.lax.dynamic_slice(maskp, (0, start, 0), (B, chunk, cells))
+        nb = jax.lax.dynamic_slice(nbrp, (0, 0, start), (B, 7, chunk))
+        g = _gather_low_faces(slab_cat, nb, rows_per_face)
+        g6 = g.reshape(B, 7, chunk, size, size, Cin)
+        raw = call(core6, g6, w, b_arr)
+        out = raw * m.astype(raw.dtype)[..., None]
+        return out.reshape(B, chunk, cells * Cout)
+
+    if n_chunks == 1:
+        out = do_chunk(0)
+    else:
+        out = jnp.concatenate([do_chunk(ci) for ci in range(n_chunks)], axis=1)
+    return out[:, :Nt]
+
+
 # Face-array index per direction: the priority axis' face, by sign.
 _FACE_ORDER = [(a, s) for a in range(3) for s in (-1, 1)]
 _DIR_FACE = np.array(

@@ -706,6 +706,11 @@ def dense_conv2(
     arrays, (T+1)^3 halo) — the packed inputs are channel-heavy
     (8x the pre-pack width), so halving slab memory matters at vox10.
     """
+    if _use_pallas(kernel8.shape[1], kernel8.shape[-1]) and mask is not None:
+        from . import pallas_conv as PC
+
+        return PC.tile_conv2(feats, nbr_rows, kernel8, bias,
+                             mask.astype(jnp.bfloat16), size=TILE, relu=relu)
     B, Nt, FC = feats.shape
     Cin = kernel8.shape[1]
     Cout = kernel8.shape[-1]

@@ -13,7 +13,7 @@ def log(m):
     print(f"[{time.strftime('%H:%M:%S')}] {m}", flush=True)
 
 
-def timed(name, fn, *args, n=2):
+def timed(name, fn, *args, n=1):
     import jax
 
     t0 = time.time()
@@ -89,12 +89,15 @@ def main(n_points=780_000):
     xa, qfa, _occ, _ov = timed(
         "synth_a (8->4)", codec._synth_a, codec.params, y_hat, q_hat, k_arr
     )
-    xb, qfb, _occ, _ov = timed(
+    del y_hat, q_hat, scales, means, indexes
+    xb, qfb, _occ2, _ov2 = timed(
         "synth_b (4->2)", codec._synth_b, codec.params, xa, qfa, k_arr
     )
-    xc, _occ, _ov = timed(
+    del xa, qfa, _occ, _ov
+    xc, _occ3, _ov3 = timed(
         "synth_c (2->1)", codec._synth_c, codec.params, xb, qfb, k_arr
     )
+    del xb, qfb, _occ2, _ov2
     timed("synth_d (post)", codec._synth_d, codec.params, xc)
 
 

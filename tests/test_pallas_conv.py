@@ -54,6 +54,18 @@ def test_transpose_matches_xla(data):
                                np.asarray(got, np.float32), atol=1e-5)
 
 
+def test_dense2_matches_xla(data):
+    """Packed 2^3-support conv (the stride-2 analysis path)."""
+    feats, nbr, W, bias, mask = data
+    rng = np.random.default_rng(2)
+    W8 = jnp.asarray(rng.standard_normal((8, 32, 16)).astype(np.float32) * 0.1)
+    ref = TL.dense_conv2(feats, nbr, W8, bias, mask=mask, relu=True)
+    got = PC.tile_conv2(feats, nbr, W8, bias, mask.astype(jnp.float32),
+                        size=4, relu=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref, np.float32),
+                               np.asarray(got, np.float32), atol=1e-5)
+
+
 def test_slab_halo_matches_whole_tile_halo(data):
     """The face-slab halo assembly is bit-identical to whole-tile
     gathers (both tile sizes)."""
