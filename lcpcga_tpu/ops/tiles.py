@@ -539,11 +539,11 @@ def dense_conv(
     if mask is not None:
         maskp = jnp.pad(mask, ((0, 0), (0, pad_tiles), (0, 0)))
 
-    # Per-(dx,dy) weight with the z-window unrolled into the reduction:
-    # [3(dz), Cin] -> K = 3*Cin per matmul. 9 matmuls instead of 27 thin
-    # einsums; the z-unrolled im2col is built once per chunk with three
-    # contiguous z-slices.
-    w9 = kern.reshape(3, 3, 3, Cin, Cout)
+    # Single 3D conv on the haloed block: XLA's conv_general_dilated is
+    # the fastest core measured on v5e (11.2/20.1 TF/s at C=64/128 vs
+    # 7.3/12.6 for z-unrolled sliced einsums and 3.3/10.8 for the Pallas
+    # kernels — scripts/exp_conv_cores.py, corrected timing protocol).
+    w3 = kern.reshape(3, 3, 3, Cin, Cout)
 
     slabs = _extract_slabs(xp, TILE, Cin)
 
@@ -552,19 +552,11 @@ def dense_conv(
         halo = _build_halo_slabs(xp, slabs, nbrp, start, chunk, TILE, Cin, B,
                                  Nt, pad_tiles)
         h = halo.reshape(B * chunk, TILE + 2, TILE + 2, TILE + 2, Cin)
-        hz = jnp.concatenate(
-            [h[:, :, :, 0:TILE], h[:, :, :, 1:TILE + 1], h[:, :, :, 2:TILE + 2]],
-            axis=-1,
-        )  # [N, T+2, T+2, T, 3*Cin]
-        acc = jnp.zeros((B * chunk, TILE, TILE, TILE, Cout), jnp.float32)
-        for dx in range(3):
-            for dy in range(3):
-                sl = hz[:, dx:dx + TILE, dy:dy + TILE]
-                acc = acc + jnp.einsum(
-                    "nxyzi,io->nxyzo", sl,
-                    w9[dx, dy].reshape(3 * Cin, Cout),
-                    preferred_element_type=jnp.float32,
-                )
+        acc = jax.lax.conv_general_dilated(
+            h, w3, (1, 1, 1), "VALID",
+            dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
+            preferred_element_type=jnp.float32,
+        )
         out = acc.reshape(B, chunk, CELLS, Cout)
         if bias is not None:
             out = out + bias
@@ -773,17 +765,15 @@ def dense_conv2(
             planes_x.append(jnp.concatenate(planes_y, axis=3))
         h = jnp.concatenate(planes_x, axis=2).reshape(
             B * chunk, T1, T1, T1, Cin)
-        acc = jnp.zeros((B * chunk, TILE, TILE, TILE, Cout), jnp.float32)
-        ti = 0
-        for sx in (0, 1):      # halo offset 1+s with s in {-1, 0}
-            for sy in (0, 1):
-                for sz in (0, 1):
-                    sl = h[:, sx:sx + TILE, sy:sy + TILE, sz:sz + TILE]
-                    acc = acc + jnp.einsum(
-                        "nxyzi,io->nxyzo", sl, kern[ti],
-                        preferred_element_type=jnp.float32,
-                    )
-                    ti += 1
+        # Single 2^3-support 3D conv (fastest core on v5e — see
+        # dense_conv). Tap ti = (sx*2+sy)*2+sz matches the conv's
+        # kernel-position order exactly.
+        w2 = kern.reshape(2, 2, 2, Cin, Cout)
+        acc = jax.lax.conv_general_dilated(
+            h, w2, (1, 1, 1), "VALID",
+            dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
+            preferred_element_type=jnp.float32,
+        )
         out = acc.reshape(B, chunk, CELLS, Cout)
         if bias is not None:
             out = out + bias
