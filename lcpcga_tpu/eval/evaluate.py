@@ -91,9 +91,12 @@ class TestsetRunner:
     def _append_row(self, csv_path: str, row: Dict) -> None:
         """Incremental CSV append (the reference appends too,
         /root/reference/evaluate.py:213-216; rewriting the whole file per
-        rate point is O(n^2) over a 3528-row sweep)."""
+        rate point is O(n^2) over a 3528-row sweep). The FIRST row of a
+        run truncates the file so a leftover CSV from an earlier run
+        can't be extended with mixed rows / duplicate indices."""
+        first = len(self.rows) <= 1
         df = pd.DataFrame([row], index=[len(self.rows) - 1])
-        df.to_csv(csv_path, mode="a", header=not os.path.exists(csv_path))
+        df.to_csv(csv_path, mode="w" if first else "a", header=first)
 
     def _score(self, src_coords, src_colors, rec_coords, rec_colors) -> Dict:
         metric = PointCloudMetric(src_coords, src_colors, rec_coords, rec_colors,

@@ -59,6 +59,21 @@ def test_testset_runner_csv_schema(tiny_codec, tmp_path):
     assert written and all(os.path.exists(p) for p in written)
 
 
+def test_testset_runner_truncates_stale_csv(tiny_codec, tmp_path):
+    """A leftover test.csv from an earlier run must not be extended —
+    the first row of a fresh runner truncates it (ADVICE r2)."""
+    codec, coords, colors = tiny_codec
+    frames = [{"points": coords, "colors": colors, "sequence": "synth", "frame": 0}]
+    out = tmp_path / "Ours"
+    out.mkdir()
+    (out / "test.csv").write_text("stale,garbage\n1,2\n3,4\n")
+    runner = TestsetRunner(str(out), use_pcqm=False)
+    runner.run_ours(codec, frames, [(0.2, 0.4)])
+    df = pd.read_csv(out / "test.csv", index_col=0)
+    assert len(df) == 1
+    assert "stale" not in df.columns and "bpp" in df.columns
+
+
 def test_view_dep_harness(tiny_codec, tmp_path):
     from lcpcga_tpu.eval.view_dep import run_view_dep
 
