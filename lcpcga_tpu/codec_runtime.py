@@ -79,6 +79,7 @@ def capacities_for_stream(stream) -> "Capacities":
         tile_fraction=stream.tile_pct / 100.0,
         same_tile_fraction=stream.same_tile_pct / 100.0,
         post_tile_fraction=stream.post_tile_pct / 100.0,
+        stack_tile=int(getattr(stream, "stack_tile", 2)),
     )
 
 
@@ -445,6 +446,7 @@ class PointCloudCodec:
             tile_pct=int(round(self.caps.tile_fraction * 100)),
             same_tile_pct=int(round(self.caps.same_tile_fraction * 100)),
             post_tile_pct=int(round(self.caps.post_tile_fraction * 100)),
+            stack_tile=int(self.caps.stack_tile),
             q_payload=q_payload,
             qz_payload=qz_payload,
             qz_length=n_qz,
@@ -704,6 +706,7 @@ class PointCloudCodec:
                 tile_pct=int(round(self.caps.tile_fraction * 100)),
                 same_tile_pct=int(round(self.caps.same_tile_fraction * 100)),
                 post_tile_pct=int(round(self.caps.post_tile_fraction * 100)),
+                stack_tile=int(self.caps.stack_tile),
             ))
         return streams
 

@@ -30,9 +30,9 @@ import struct
 from typing import List, Tuple
 
 MAGIC = b"LCPT"
-VERSION = 2
+VERSION = 3
 
-_HEAD_FMT = "<4sBBB11I6I4B"
+_HEAD_FMT = "<4sBBB11I6I5B"
 _HEAD_SIZE = struct.calcsize(_HEAD_FMT)
 
 _FLAG_SEPARATE_Q = 1
@@ -56,6 +56,7 @@ class Bitstream:
     tile_pct: int = 62
     same_tile_pct: int = 0
     post_tile_pct: int = 35
+    stack_tile: int = 2      # tile size of the same-stride/post stacks
     # separate_q_model ablation: q latent coded by its own hyperprior.
     q_payload: bytes = b""
     qz_payload: bytes = b""
@@ -99,6 +100,7 @@ class Bitstream:
             self._u8("tile_pct", self.tile_pct),
             self._u8("same_tile_pct", self.same_tile_pct),
             self._u8("post_tile_pct", self.post_tile_pct),
+            self._u8("stack_tile", self.stack_tile),
         )
         return (head + self.points_payload + self.y_payload + self.z_payload
                 + self.q_payload + self.qz_payload)
@@ -117,7 +119,7 @@ class Bitstream:
             raise ValueError(f"unsupported bitstream version {version}")
         (_, _, flags, depth, qzlen, n_points, zlen, lp, ly, lz, lq, lqz,
          k1, k2, k3, c0, c1, c2, c3, c4, c5, cand_factor, tile_pct,
-         same_tile_pct, post_tile_pct) = struct.unpack(
+         same_tile_pct, post_tile_pct, stack_tile) = struct.unpack(
             _HEAD_FMT, data[:_HEAD_SIZE]
         )
         caps = (c0, c1, c2, c3, c4, c5)
@@ -144,6 +146,7 @@ class Bitstream:
             tile_pct=tile_pct,
             same_tile_pct=same_tile_pct,
             post_tile_pct=post_tile_pct,
+            stack_tile=stack_tile,
             q_payload=q,
             qz_payload=qz,
             qz_length=qzlen,

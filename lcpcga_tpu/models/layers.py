@@ -67,13 +67,9 @@ class DownConv(nn.Module):
                                   out_st.valid)
         return out_st.with_feats(feats)
 
-    def packed(self, packed_feats: jax.Array, nbr_rows: jax.Array,
-               mask: jax.Array, relu: bool = False) -> jax.Array:
-        from ..ops import tiles as TL
-
-        w8 = TL.pack_stride2_kernel(self.kernel)
-        return TL.dense_conv2(packed_feats, nbr_rows, w8, self.bias,
-                              mask=mask, relu=relu)
+    # The packed execution path runs through the FUSED block-diagonal
+    # conv in AnalysisTransform.ga_level (pack_stride2_kernel over the
+    # merged h|c channels) — see models/transforms.py.
 
 
 class ConvReluConv(nn.Module):
@@ -158,20 +154,19 @@ class ScaledBlock(nn.Module):
 
     def grid(self, feats: jax.Array, nbr_rows: jax.Array, mask: jax.Array,
              beta_gamma: jax.Array) -> jax.Array:
-        from ..ops.tiles import CELLS
-
+        cells = mask.shape[-1]
         residual = feats
         x = self.conv1.grid(feats, nbr_rows, mask)
         B, Nt, _ = x.shape
         c = self.channels
-        xs = x.reshape(B, Nt, CELLS, c)
+        xs = x.reshape(B, Nt, cells, c)
         # -1: the FiLM tensor is 2c wide normally, width 2 under
         # condition_ablation (broadcasts against c like the sparse path).
-        bg = beta_gamma.reshape(B, Nt, CELLS, -1)
+        bg = beta_gamma.reshape(B, Nt, cells, -1)
         beta, gamma = jnp.split(bg, 2, axis=-1)
         m = mask[..., None].astype(xs.dtype)
         xs = (xs * beta + gamma) * m  # re-mask: gamma adds at empty cells
-        x = self.conv2.grid(xs.reshape(B, Nt, CELLS * c), nbr_rows, mask)
+        x = self.conv2.grid(xs.reshape(B, Nt, cells * c), nbr_rows, mask)
         return x + residual
 
 
@@ -281,7 +276,7 @@ class GenerativeUp(nn.Module):
             jnp.concatenate([st.feats, q.feats.astype(st.feats.dtype)], axis=-1)
         )
         grid, emb = TL.build_upsample_grid(src, self.tile_capacity)
-        nbr = TL.neighbor_rows(grid.keys)
+        nbr = TL.neighbor_rows(grid.keys, TL.grid_span(grid))
         cell_mask = grid.mask & grid.valid[:, :, None]  # [B, Nt, T^3]
         B, Nt = grid.keys.shape
 
@@ -382,13 +377,12 @@ class PredictHead(nn.Module):
 
     def grid(self, feats: jax.Array, nbr_rows: jax.Array,
              mask: jax.Array) -> jax.Array:
-        from ..ops.tiles import CELLS
-
+        cells = mask.shape[-1]
         h = self.conv_a.grid(feats, nbr_rows, mask)
         B, Nt, FC = h.shape
-        h = nn.relu(self.dense(h.reshape(B, Nt, CELLS, self.n)))
+        h = nn.relu(self.dense(h.reshape(B, Nt, cells, self.n)))
         m = mask[..., None].astype(h.dtype)
-        h = (h * m).reshape(B, Nt, CELLS * self.n)
+        h = (h * m).reshape(B, Nt, cells * self.n)
         return self.conv_b.grid(h, nbr_rows, mask)
 
 

@@ -65,6 +65,14 @@ class Capacities:
     # the single heaviest gather stack) — controlled separately.
     # TPU-verified at vox10 scale (unlike the level stacks above).
     post_tile_fraction: float = 1.05
+    # Tile size (cells per axis) for the same-stride/post stacks and the
+    # analysis pyramid. vox10 surfaces fill T=4 same-stride grids only
+    # 6-14% (~10x padded FLOPs) and T=2 quadruples fill — but the stacks
+    # measure SORT/LOOKUP/GATHER-bound, not FLOP-bound, and those ops
+    # scale with tile count, so T=2 measured slower end-to-end on v5e
+    # (synth_c 7.8 -> 8.4s, synth_d 3.0 -> 3.8s). Default stays 4;
+    # the knob exists for occupancy regimes where FLOPs dominate.
+    stack_tile: int = 4
     # Tiled analysis transform (encoder-only; NOT stream-semantic — the
     # decoder never recomputes g_a, so this is a pure runtime choice and
     # is not serialized). The tiled path is the TPU encode speed path;
@@ -72,14 +80,16 @@ class Capacities:
     analysis_tiles: bool = True
 
     def post_tile_cap(self, stride: int) -> int:
-        """Tile capacity for the post-conv stack: a T=4 tile at stride s
-        is occupied iff its stride-4s cell is, so cap(4s) IS the exact
-        tile count bound; the fraction is a safety multiplier."""
+        """Tile capacity for the post-conv stack: a T-cell tile at
+        stride s is occupied iff its stride-T*s cell is, so cap(T*s) IS
+        the exact tile count bound; the fraction is a safety
+        multiplier."""
         if self.tile_fraction <= 0 or self.post_tile_fraction <= 0:
             return 0
         from ..ops import round_up
 
-        return max(256, round_up(int(self.post_tile_fraction * self.cap(4 * stride))))
+        return max(256, round_up(int(
+            self.post_tile_fraction * self.cap(self.stack_tile * stride))))
 
     def cap(self, stride: int) -> int:
         return self.caps[stride.bit_length() - 1]
@@ -101,12 +111,13 @@ class Capacities:
 
     def same_tile_cap(self, stride: int) -> int:
         """Tile capacity for same-stride dense conv stacks: tiles at
-        stride s = occupancy at stride 4s (see post_tile_cap)."""
+        stride s = occupancy at stride T*s (see post_tile_cap)."""
         if self.tile_fraction <= 0 or self.same_tile_fraction <= 0:
             return 0
         from ..ops import round_up
 
-        return max(256, round_up(int(self.same_tile_fraction * self.cap(4 * stride))))
+        return max(256, round_up(int(
+            self.same_tile_fraction * self.cap(self.stack_tile * stride))))
 
     @classmethod
     def for_cloud(cls, coords, margin: float = 1.3) -> "Capacities":
@@ -290,35 +301,40 @@ class AnalysisTransform(nn.Module):
         return a, b
 
     @staticmethod
-    def _merge_ch(fa, fb):
-        from ..ops import tiles as TL
-
+    def _merge_ch(fa, fb, ca: int):
         B, Nt, _ = fa.shape
-        a = fa.reshape(B, Nt, TL.CELLS, -1)
-        b = fb.reshape(B, Nt, TL.CELLS, -1)
+        cells = fa.shape[-1] // ca
+        a = fa.reshape(B, Nt, cells, ca)
+        b = fb.reshape(B, Nt, cells, -1)
         return jnp.concatenate([a, b], axis=-1).reshape(B, Nt, -1)
 
     def ga_stage0(self, x: SparseTensor, q: SparseTensor):
         """Stride-1 work: rasterize [x|q], source conditioning, pre
-        convs. Returns (grid1, merged h|c feats, overflow)."""
+        convs. Returns (grid1, merged h|c feats, overflow).
+
+        The pyramid uses ``caps.stack_tile``-sized tiles: a size-T tile
+        at stride 1 is occupied iff its stride-T cell is, so cap(T) is
+        the exact tile bound."""
         from ..ops import tiles as TL
 
         cin = self.channels_in
+        T = self.caps.stack_tile
+        cap1 = self.caps.cap(T)
         comb = x.with_feats(
             jnp.concatenate([x.feats, q.feats], axis=-1).astype(jnp.bfloat16)
         )
-        grid1, f1 = TL.rasterize(comb, self.caps.cap(4))
-        nbr1 = TL.neighbor_rows(grid1.keys)
+        grid1, f1 = TL.rasterize(comb, cap1, tile=T)
+        nbr1 = TL.neighbor_rows(grid1.keys, TL.grid_span(grid1))
         mask1 = grid1.mask & grid1.valid[:, :, None]
         fx, fq = self._split_ch(f1, cin, cin + 2)
         if self.source_condition:
             fq = fq + self.q_plus.grid(fx, nbr1, mask1)
         c = self.cond.pre.grid(fq, nbr1, mask1)       # cond features (2ch)
         h = self.pre.grid(fx, nbr1, mask1)            # n1
-        overflow = (grid1.count >= self.caps.cap(4)) | (
+        overflow = (grid1.count >= cap1) | (
             x.count >= x.capacity
         )
-        return grid1, self._merge_ch(h, c), overflow
+        return grid1, self._merge_ch(h, c, self.n1), overflow
 
     def ga_level(self, grid, feats, i: int):
         """Pack to the next stride + down convs + FiLM stack at level
@@ -328,11 +344,13 @@ class AnalysisTransform(nn.Module):
         n_widths = (self.n2, self.n3, self.n3)
         downs_f = (self.down2, self.down4, self.down8)
         sbs = (self.sb2, self.sb4, self.sb8)
-        tile_caps = (self.caps.cap(8), self.caps.cap(16), self.caps.cap(32))
+        # Size-T tiles at stride 2^(i+1) bound by stride T*2^(i+1) cells.
+        T = self.caps.stack_tile
+        tile_caps = tuple(self.caps.cap(T * 2 ** (i + 1)) for i in range(3))
         cf = self.cond.n_features
 
         packed_grid, packed = TL.downsample_pack(grid, feats, tile_caps[i])
-        nbr = TL.neighbor_rows(packed_grid.keys)
+        nbr = TL.neighbor_rows(packed_grid.keys, TL.grid_span(packed_grid))
         mask = packed_grid.mask & packed_grid.valid[:, :, None]
         prev = self.n1 if i == 0 else n_widths[i - 1]
         # Fuse the feature and condition down convs into ONE
@@ -360,14 +378,14 @@ class AnalysisTransform(nn.Module):
         h = sbs[i].grid(h, nbr, mask, bg)
         count = jnp.sum(mask.astype(jnp.int32), axis=(1, 2))
         ov = packed_grid.count >= tile_caps[i]
-        return packed_grid, self._merge_ch(h, c), count, ov
+        return packed_grid, self._merge_ch(h, c, nxt), count, ov
 
     def ga_finish(self, grid, feats):
         """Final conv + extraction to canonical rows at stride 8.
         Returns (y, q_latent, overflow)."""
         from ..ops import tiles as TL
 
-        nbr = TL.neighbor_rows(grid.keys)
+        nbr = TL.neighbor_rows(grid.keys, TL.grid_span(grid))
         mask = grid.mask & grid.valid[:, :, None]
         h, c = self._split_ch(feats, self.n3, self.n3 + self.cond.n_features[3])
         y_feats = self.post.grid(h, nbr, mask)
@@ -458,8 +476,8 @@ class SparseSynthesisTransform(nn.Module):
         # whole decode (7.5GB at vox10 stride 2), so it is extracted to
         # rows immediately and FiLM is applied row-wise between the two
         # conv pairs.
-        grid, qg = TL.rasterize(qf, tile_cap)
-        nbr_rows = TL.neighbor_rows(grid.keys)
+        grid, qg = TL.rasterize(qf, tile_cap, tile=self.caps.stack_tile)
+        nbr_rows = TL.neighbor_rows(grid.keys, TL.grid_span(grid))
         mask = grid.mask & grid.valid[:, :, None]
 
         bg_grid = qp.chain.grid(qg.astype(jnp.bfloat16), nbr_rows, mask)
@@ -523,8 +541,8 @@ class SparseSynthesisTransform(nn.Module):
 
         tile1 = self.caps.post_tile_cap(1)
         if tile1 > 0:
-            grid, feats = TL.rasterize(x, tile1)
-            nbr_rows = TL.neighbor_rows(grid.keys)
+            grid, feats = TL.rasterize(x, tile1, tile=self.caps.stack_tile)
+            nbr_rows = TL.neighbor_rows(grid.keys, TL.grid_span(grid))
             mask = grid.mask & grid.valid[:, :, None]
             out = self.post.grid(feats.astype(jnp.bfloat16), nbr_rows, mask)
             ext = TL.extract_sparse(grid, out, mask, x.capacity)

@@ -38,13 +38,31 @@ from flax import struct
 from . import coords as C
 from .sparse import SparseTensor
 
-# Cells per axis per tile. T=4 measures ~0.4-0.5 candidate fill on vox10
-# surfaces (T=8 only ~0.25).
+# Default cells per axis per tile. T=4 measures ~0.4-0.5 candidate fill
+# on vox10 surfaces (T=8 only ~0.25). Grids carry their own tile size;
+# T=2 (4x less cell padding on same-stride sets) measured SLOWER
+# end-to-end on v5e — the stacks are gather/lookup-bound and those ops
+# scale with tile count — so T=4 is the default everywhere
+# (Capacities.stack_tile).
 TILE = 4
 CELLS = TILE**3
-# Tiles per chunk in the dense conv (2048 tiles x 64 cells = 131k einsum
-# rows per tap; halo transients stay ~100MB).
-CONV_TILE_CHUNK = 2048
+# Halo-transient budget per conv chunk. Chunks are iterations of a
+# sequential lax.map: too small and the loop can't pipeline HBM against
+# the MXU (vox10 candidate grids hit 180+ iterations at a fixed 2048);
+# too big and the (size+2)^3 * Cin halo transient crowds 16GB HBM.
+CONV_CHUNK_BYTES = 192 << 20
+CONV_TILE_CHUNK = 2048  # floor
+
+
+def _size_from_cells(cells: int) -> int:
+    s = round(cells ** (1.0 / 3.0))
+    assert s**3 == cells, cells
+    return s
+
+
+def _chunk_target(size: int, cin: int = 64) -> int:
+    halo_bytes = (size + 2) ** 3 * cin * 2  # bf16
+    return max(CONV_TILE_CHUNK, min(16384, CONV_CHUNK_BYTES // halo_bytes))
 
 
 def _pick_chunk(n_tiles: int, target: int = CONV_TILE_CHUNK) -> int:
@@ -69,12 +87,14 @@ class TileGrid:
     count: [B] valid tiles.
     mask:  [B, Nt, T^3] candidate-cell occupancy.
     stride: voxel stride of a cell.
+    tile:  cells per axis (T) of this grid.
     """
 
     keys: jax.Array
     count: jax.Array
     mask: jax.Array
     stride: int = struct.field(pytree_node=False, default=1)
+    tile: int = struct.field(pytree_node=False, default=TILE)
 
     @property
     def num_tiles(self) -> int:
@@ -85,8 +105,83 @@ class TileGrid:
         return self.keys != C.INVALID_KEY
 
 
-def _flat_local(local: jax.Array) -> jax.Array:
-    return (local[..., 0] * TILE + local[..., 1]) * TILE + local[..., 2]
+def _flat_local(local: jax.Array, size: int = TILE) -> jax.Array:
+    return (local[..., 0] * size + local[..., 1]) * size + local[..., 2]
+
+
+# -- Dense tile-rank volumes ------------------------------------------------
+#
+# Tile coordinate spaces are small ((COORD_RANGE / (stride * T))^3 <=
+# 16.7M cells), so tile-set construction and coordinate->row lookup run
+# as scatter + cumsum + O(1) volume gathers instead of O(N log^2 N)
+# bitonic sorts / O(log N) per-query searchsorted — the measured decode
+# bottlenecks on v5e (build_upsample_grid 2.6 s, candidate-grid
+# neighbor_rows 1.4 s; the dense convs they feed are 0.17-0.27 s).
+# Enumerating the volume in flat (x-major) order IS packed-key order,
+# so emitted key lists are canonically sorted by construction.
+
+# Largest volume the scatter/cumsum path is worth: 256^3 = 16.7M cells.
+VOL_SPAN_MAX = 256
+# Volume path must also beat sorting ~rows keys: skip it when the tile
+# space dwarfs the row count (e.g. training-scale cubes).
+VOL_ROWS_RATIO = 32
+
+
+def grid_span(grid: TileGrid) -> int:
+    """Tiles per axis of a grid's coordinate space."""
+    return C.COORD_RANGE // (grid.stride * grid.tile)
+
+
+def _use_volume(span: int, n_rows: int) -> bool:
+    # span == 0 means "unknown" (callers without grid geometry): sort path.
+    return 0 < span <= VOL_SPAN_MAX and span**3 <= VOL_ROWS_RATIO * n_rows
+
+
+def _flat_tile(tc: jax.Array, span: int, ok: jax.Array) -> jax.Array:
+    """[..., 3] tile coords -> flat volume index; invalid -> span^3
+    (the sentinel row of rank volumes / the drop row of scatters)."""
+    f = (tc[..., 0] * span + tc[..., 1]) * span + tc[..., 2]
+    return jnp.where(ok, f, span**3)
+
+
+def _vol_keys(flat_idx: jax.Array, span: int, capacity: int):
+    """Sorted unique tile keys from candidate flat indices (one item).
+
+    Returns (keys [capacity], rank_vol [span^3 + 1], count). rank_vol
+    maps flat tile index -> grid row (capacity where unoccupied; the
+    last entry is the miss sentinel), replacing searchsorted lookups.
+    Overflow semantics match compact_keys: highest keys drop first.
+    """
+    vol = jnp.zeros((span**3,), bool).at[flat_idx].set(True, mode="drop")
+    ranks = jnp.cumsum(vol.astype(jnp.int32)) - 1
+    count = jnp.minimum(ranks[-1] + 1, capacity)
+    dest = jnp.where(vol & (ranks < capacity), ranks, capacity)
+    f = jnp.arange(span**3, dtype=jnp.int32)
+    tx = f // (span * span)
+    ty = (f // span) % span
+    tz = f % span
+    pk = (tx << (2 * C.COORD_BITS)) | (ty << C.COORD_BITS) | tz
+    keys = jnp.full((capacity,), C.INVALID_KEY, jnp.int32)
+    keys = keys.at[dest].set(pk, mode="drop")
+    rank_vol = jnp.concatenate([
+        jnp.where(vol & (ranks < capacity), ranks, capacity),
+        jnp.full((1,), capacity, jnp.int32),
+    ])
+    return keys, rank_vol, count
+
+
+def _ranks_from_keys(keys: jax.Array, span: int, miss: int) -> jax.Array:
+    """[span^3 + 1] int32 rank volume from a grid's sorted keys (one
+    item): flat tile index -> row, ``miss`` where unoccupied. One
+    scatter — no cumsum (rows already enumerate the sorted keys)."""
+    tc = C.unpack(keys)
+    ok = keys != C.INVALID_KEY
+    # Invalid rows go OOB (dropped) — span^3 is the live miss sentinel.
+    f = (tc[..., 0] * span + tc[..., 1]) * span + tc[..., 2]
+    flat = jnp.where(ok, f, span**3 + 1)
+    n = keys.shape[0]
+    vol = jnp.full((span**3 + 1,), miss, jnp.int32)
+    return vol.at[flat].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
 
 
 # Parent cells per axis per tile: a tile spans TILE child cells
@@ -112,7 +207,8 @@ def build_upsample_grid(
     resolution would be ~97% zeros — 14GB at vox10 scale).
     """
     t = parents.stride // 2
-    grid_span = C.COORD_RANGE // t
+    cell_span = C.COORD_RANGE // t
+    span = cell_span // TILE
     Cin = parents.num_channels
     B, N = parents.keys.shape
 
@@ -120,23 +216,65 @@ def build_upsample_grid(
     pvalid = parents.valid
 
     lo = jnp.maximum(pcell - 1, 0) // TILE
-    hi = jnp.minimum(pcell + 1, grid_span - 1) // TILE
+    hi = jnp.minimum(pcell + 1, cell_span - 1) // TILE
+    use_vol = _use_volume(span, N)
 
-    def tiles_item(lo_i, hi_i, valid_i):
+    def corner_coords(lo_i, hi_i):
         cands = []
         for sx in (0, 1):
             for sy in (0, 1):
                 for sz in (0, 1):
-                    sel = jnp.stack(
+                    cands.append(jnp.stack(
                         [
                             jnp.where(sx, hi_i[:, 0], lo_i[:, 0]),
                             jnp.where(sy, hi_i[:, 1], lo_i[:, 1]),
                             jnp.where(sz, hi_i[:, 2], lo_i[:, 2]),
                         ],
                         axis=-1,
-                    )
-                    cands.append(C.pack_valid(sel, valid_i))
-        keys = jnp.sort(jnp.concatenate(cands))
+                    ))
+        return cands
+
+    if use_vol:
+        # One fused per-item pass over the rank volume: tile set, parent
+        # embedding and candidate mask share the scatter+cumsum ranks.
+        def item(lo_i, hi_i, pcell_i, feats_i, valid_i):
+            cands = corner_coords(lo_i, hi_i)
+            flat = _flat_tile(jnp.concatenate(cands), span,
+                              jnp.tile(valid_i, 8))
+            keys_i, rank_vol, count_i = _vol_keys(flat, span, tile_capacity)
+            trow = rank_vol[_flat_tile(pcell_i // TILE, span, valid_i)]
+            eflat = trow * PCELLS + _flat_plocal((pcell_i // 2) % PTILE)
+            eflat = jnp.where(valid_i & (trow < tile_capacity), eflat,
+                              tile_capacity * PCELLS)
+            dense = jnp.zeros((tile_capacity * PCELLS, Cin), feats_i.dtype)
+            emb_i = dense.at[eflat].set(feats_i, mode="drop")
+            # Candidate mask: ONE scatter of all 27 dilation offsets (27
+            # sequential .at[].set rounds serialize in XLA).
+            offs = jnp.asarray(
+                [(dx, dy, dz) for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+                 for dz in (-1, 0, 1)], jnp.int32)
+            ch = pcell_i[None, :, :] + offs[:, None, :]      # [27, N, 3]
+            ok = valid_i[None, :] & jnp.all(
+                (ch >= 0) & (ch < cell_span), axis=-1)
+            tr = rank_vol[_flat_tile(ch // TILE, span, ok)]
+            mflat = tr * CELLS + _flat_local(ch % TILE)
+            mflat = jnp.where(ok & (tr < tile_capacity), mflat,
+                              tile_capacity * CELLS)
+            mask_i = jnp.zeros((tile_capacity * CELLS,), bool).at[
+                mflat.reshape(-1)].set(True, mode="drop")
+            return keys_i, count_i, emb_i, mask_i
+
+        tile_keys, tile_count, emb, mask = jax.vmap(item)(
+            lo, hi, pcell, parents.feats, pvalid)
+        grid = TileGrid(
+            keys=tile_keys, count=tile_count,
+            mask=mask.reshape(B, tile_capacity, CELLS), stride=t)
+        return grid, emb.reshape(B, tile_capacity, PCELLS * Cin)
+
+    def tiles_item(lo_i, hi_i, valid_i):
+        cands = corner_coords(lo_i, hi_i)
+        keys = jnp.sort(jnp.concatenate(
+            [C.pack_valid(s, valid_i) for s in cands]))
         keep = C.unique_mask_sorted(keys)
         out_keys, _, count = C.compact_keys(keys, keep, tile_capacity)
         return out_keys, count
@@ -161,7 +299,7 @@ def build_upsample_grid(
             for dy in (-1, 0, 1):
                 for dz in (-1, 0, 1):
                     ch = pcell_i + jnp.array([dx, dy, dz], jnp.int32)
-                    ok = valid_i & jnp.all((ch >= 0) & (ch < grid_span), axis=-1)
+                    ok = valid_i & jnp.all((ch >= 0) & (ch < cell_span), axis=-1)
                     trow = C.lookup(tile_keys_i, C.pack_valid(ch // TILE, ok))
                     flat = trow * CELLS + _flat_local(ch % TILE)
                     flat = jnp.where(ok & (trow < tile_capacity), flat,
@@ -176,20 +314,50 @@ def build_upsample_grid(
     return grid, emb
 
 
-def rasterize(st: SparseTensor, tile_capacity: int) -> Tuple[TileGrid, jax.Array]:
+def rasterize(
+    st: SparseTensor, tile_capacity: int, tile: int = TILE
+) -> Tuple[TileGrid, jax.Array]:
     """Rasterize a sparse tensor into dense tiles at its own stride.
 
     Returns (grid with occupancy mask, feats [B, Nt, T^3 * C]). Used to
     run same-coordinate conv stacks (FiLM blocks, Q heads, post-convs)
-    as dense einsums instead of per-row gathers.
+    as dense einsums instead of per-row gathers. ``tile`` picks the cell
+    resolution: T=2 for sparse same-stride sets (4x less cell padding
+    than T=4 on vox10 surfaces), T=4 for denser candidate sets.
     """
     Cdim = st.num_channels
     B, N = st.keys.shape
+    cells = tile**3
+    span = C.COORD_RANGE // (st.stride * tile)
     cell = st.coords // st.stride
     valid = st.valid
 
+    if _use_volume(span, N):
+        def item(cell_i, feats_i, valid_i):
+            tflat = _flat_tile(cell_i // tile, span, valid_i)
+            keys_i, rank_vol, count_i = _vol_keys(tflat, span, tile_capacity)
+            trow = rank_vol[tflat]
+            flat = trow * cells + _flat_local(cell_i % tile, tile)
+            flat = jnp.where(valid_i & (trow < tile_capacity), flat,
+                             tile_capacity * cells)
+            dense = jnp.zeros((tile_capacity * cells, Cdim), feats_i.dtype)
+            dense = dense.at[flat].set(feats_i, mode="drop")
+            occ = jnp.zeros((tile_capacity * cells,), bool).at[flat].set(
+                True, mode="drop")
+            return keys_i, count_i, dense, occ
+
+        tile_keys, tile_count, feats, occ = jax.vmap(item)(cell, st.feats, valid)
+        grid = TileGrid(
+            keys=tile_keys,
+            count=tile_count,
+            mask=occ.reshape(B, tile_capacity, cells),
+            stride=st.stride,
+            tile=tile,
+        )
+        return grid, feats.reshape(B, tile_capacity, cells * Cdim)
+
     def tiles_item(cell_i, valid_i):
-        keys = jnp.sort(C.pack_valid(cell_i // TILE, valid_i))
+        keys = jnp.sort(C.pack_valid(cell_i // tile, valid_i))
         keep = C.unique_mask_sorted(keys)
         out_keys, _, count = C.compact_keys(keys, keep, tile_capacity)
         return out_keys, count
@@ -197,22 +365,23 @@ def rasterize(st: SparseTensor, tile_capacity: int) -> Tuple[TileGrid, jax.Array
     tile_keys, tile_count = jax.vmap(tiles_item)(cell, valid)
 
     def scatter(tile_keys_i, cell_i, feats_i, valid_i):
-        trow = C.lookup(tile_keys_i, C.pack_valid(cell_i // TILE, valid_i))
-        flat = trow * CELLS + _flat_local(cell_i % TILE)
-        flat = jnp.where(valid_i & (trow < tile_capacity), flat, tile_capacity * CELLS)
-        dense = jnp.zeros((tile_capacity * CELLS, Cdim), feats_i.dtype)
+        trow = C.lookup(tile_keys_i, C.pack_valid(cell_i // tile, valid_i))
+        flat = trow * cells + _flat_local(cell_i % tile, tile)
+        flat = jnp.where(valid_i & (trow < tile_capacity), flat, tile_capacity * cells)
+        dense = jnp.zeros((tile_capacity * cells, Cdim), feats_i.dtype)
         dense = dense.at[flat].set(feats_i, mode="drop")
-        occ = jnp.zeros((tile_capacity * CELLS,), bool).at[flat].set(True, mode="drop")
+        occ = jnp.zeros((tile_capacity * cells,), bool).at[flat].set(True, mode="drop")
         return dense, occ
 
     feats, occ = jax.vmap(scatter)(tile_keys, cell, st.feats, valid)
     grid = TileGrid(
         keys=tile_keys,
         count=tile_count,
-        mask=occ.reshape(B, tile_capacity, CELLS),
+        mask=occ.reshape(B, tile_capacity, cells),
         stride=st.stride,
+        tile=tile,
     )
-    return grid, feats.reshape(B, tile_capacity, CELLS * Cdim)
+    return grid, feats.reshape(B, tile_capacity, cells * Cdim)
 
 
 def scatter_feats(grid: TileGrid, st: SparseTensor, dtype=None) -> jax.Array:
@@ -220,19 +389,27 @@ def scatter_feats(grid: TileGrid, st: SparseTensor, dtype=None) -> jax.Array:
     must be the grid's occupied cells). Returns [B, Nt, T^3 * C]."""
     Cdim = st.num_channels
     B, Nt = grid.keys.shape
+    tile = grid.tile
+    cells = tile**3
+    span = grid_span(grid)
+    use_vol = _use_volume(span, Nt)
     cell = st.coords // st.stride
     valid = st.valid
     feats = st.feats if dtype is None else st.feats.astype(dtype)
 
     def scatter(tile_keys_i, cell_i, feats_i, valid_i):
-        trow = C.lookup(tile_keys_i, C.pack_valid(cell_i // TILE, valid_i))
-        flat = trow * CELLS + _flat_local(cell_i % TILE)
-        flat = jnp.where(valid_i & (trow < Nt), flat, Nt * CELLS)
-        dense = jnp.zeros((Nt * CELLS, Cdim), feats_i.dtype)
+        if use_vol:
+            rank_vol = _ranks_from_keys(tile_keys_i, span, Nt)
+            trow = rank_vol[_flat_tile(cell_i // tile, span, valid_i)]
+        else:
+            trow = C.lookup(tile_keys_i, C.pack_valid(cell_i // tile, valid_i))
+        flat = trow * cells + _flat_local(cell_i % tile, tile)
+        flat = jnp.where(valid_i & (trow < Nt), flat, Nt * cells)
+        dense = jnp.zeros((Nt * cells, Cdim), feats_i.dtype)
         return dense.at[flat].set(feats_i, mode="drop")
 
     out = jax.vmap(scatter)(grid.keys, cell, feats, valid)
-    return out.reshape(B, Nt, CELLS * Cdim)
+    return out.reshape(B, Nt, cells * Cdim)
 
 
 _DIRS = [
@@ -244,10 +421,28 @@ _DIRS = [
 ]
 
 
-def neighbor_rows(grid_keys: jax.Array) -> jax.Array:
-    """[B, 26, Nt] neighbor tile row indices (Nt = miss)."""
+def neighbor_rows(grid_keys: jax.Array, span: int = 0) -> jax.Array:
+    """[B, 26, Nt] neighbor tile row indices (Nt = miss).
+
+    With ``span`` (= grid_span(grid)) the lookups run as O(1) gathers
+    from a dense rank volume (one scatter) instead of 26 searchsorted
+    sweeps — 26 x Nt binary searches measured 0.9-1.4 s at vox10 tile
+    counts."""
+    B, Nt = grid_keys.shape
     coords = C.unpack(grid_keys)
     valid = grid_keys != C.INVALID_KEY
+
+    if _use_volume(span, Nt):
+        def per_item_vol(keys_i, coords_i, valid_i):
+            rank_vol = _ranks_from_keys(keys_i, span, Nt)
+            rows = []
+            for d in _DIRS:
+                q = coords_i + jnp.asarray(d, jnp.int32)
+                ok = valid_i & jnp.all((q >= 0) & (q < span), axis=-1)
+                rows.append(rank_vol[_flat_tile(q, span, ok)])
+            return jnp.stack(rows)
+
+        return jax.vmap(per_item_vol)(grid_keys, coords, valid)
 
     def per_item(keys_i, coords_i, valid_i):
         rows = []
@@ -280,7 +475,10 @@ def _extract_slabs(xp, size: int, cin: int):
     [B, Ntp+1, size^2 * Cin]} — the face plane a neighbor in direction
     sign along ``axis`` hands over (its opposite face, _slab_slice).
     Row Ntp is a zero miss row, so halo gathers are a plain take with no
-    post-masking.
+    post-masking. Per-direction takes deliberately stay SEPARATE: one
+    fused take over a stacked slab array measured SLOWER end-to-end on
+    v5e (synth_b 2.08 -> 2.63 s) — XLA pipelines the 26 streams better
+    than one giant irregular gather.
 
     Edge/corner slabs are sub-slices of a face slab, so the halo build
     gathers face rows (size^2 cells) for all 26 directions and slices
@@ -416,20 +614,24 @@ def transpose_dense_conv(
     slot with a fixed parent shift, so the op is 27 dense einsums over
     the haloed parent block. Returns child grid [B, Nt, TILE^3 * Cout].
     """
-    if _use_pallas(kernel.shape[1], kernel.shape[-1]) and mask is not None:
-        from . import pallas_conv as PC
-
-        return PC.tile_conv(pfeats, nbr_rows, kernel, bias,
-                            mask.astype(jnp.bfloat16), size=PTILE,
-                            transpose=True)
     B, Nt, FC = pfeats.shape
     Cin = kernel.shape[1]
     Cout = kernel.shape[-1]
-    assert FC == PCELLS * Cin, (FC, PCELLS, Cin)
+    assert FC % Cin == 0, (FC, Cin)
+    psize = _size_from_cells(FC // Cin)
+    pcells = psize**3
+    csize = 2 * psize
+    ccells = csize**3
+    if _use_pallas(Cin, Cout) and mask is not None:
+        from . import pallas_conv as PC
+
+        return PC.tile_conv(pfeats, nbr_rows, kernel, bias,
+                            mask.astype(jnp.bfloat16), size=psize,
+                            transpose=True)
     kern = kernel.astype(compute_dtype)
 
     x = pfeats.astype(compute_dtype)
-    chunk = _pick_chunk(Nt)
+    chunk = _pick_chunk(Nt, _chunk_target(psize, Cin))
     n_chunks = -(-Nt // chunk)
     pad_tiles = n_chunks * chunk - Nt
     xp = jnp.pad(x, ((0, 0), (0, pad_tiles), (0, 0)))
@@ -464,35 +666,37 @@ def transpose_dense_conv(
     w_sub = kern_ext[jnp.asarray(idx.reshape(8, 8))]
     w_sub = w_sub.transpose(0, 2, 1, 3).reshape(8 * Cin, 8 * Cout)
 
-    slabs = _extract_slabs(xp, PTILE, Cin)
+    slabs = _extract_slabs(xp, psize, Cin)
 
     def do_chunk(ci):
         start = ci * chunk
-        halo = _build_halo_slabs(xp, slabs, nbrp, start, chunk, PTILE, Cin, B,
+        halo = _build_halo_slabs(xp, slabs, nbrp, start, chunk, psize, Cin, B,
                                  Nt, pad_tiles)
-        h = halo.reshape(B * chunk, PTILE + 2, PTILE + 2, PTILE + 2, Cin)
+        h = halo.reshape(B * chunk, psize + 2, psize + 2, psize + 2, Cin)
         cols = []
         for wx in range(2):
             for wy in range(2):
                 for wz in range(2):
                     cols.append(
-                        h[:, 1 + wx:3 + wx, 1 + wy:3 + wy, 1 + wz:3 + wz]
+                        h[:, 1 + wx:1 + wx + psize, 1 + wy:1 + wy + psize,
+                          1 + wz:1 + wz + psize]
                     )
-        col = jnp.stack(cols, axis=4).reshape(B * chunk * PCELLS, 8 * Cin)
+        col = jnp.stack(cols, axis=4).reshape(B * chunk * pcells, 8 * Cin)
         child = jnp.dot(col, w_sub, preferred_element_type=jnp.float32)
-        # [N, ux,uy,uz, px,py,pz, Cout] -> interleave to [N, 4,4,4, Cout]
-        child = child.reshape(B * chunk, 2, 2, 2, 2, 2, 2, Cout)
+        # [N, ux,uy,uz, px,py,pz, Cout] -> interleave to child cells.
+        child = child.reshape(
+            B * chunk, psize, psize, psize, 2, 2, 2, Cout)
         child = child.transpose(0, 1, 4, 2, 5, 3, 6, 7)
-        out = child.reshape(B, chunk, CELLS, Cout)
+        out = child.reshape(B, chunk, ccells, Cout)
         if bias is not None:
             out = out + bias
         if maskp is not None:
-            m = jax.lax.dynamic_slice(maskp, (0, start, 0), (B, chunk, CELLS))
+            m = jax.lax.dynamic_slice(maskp, (0, start, 0), (B, chunk, ccells))
             out = out * m.astype(out.dtype)[..., None]
-        return out.astype(pfeats.dtype).reshape(B, chunk, CELLS * Cout)
+        return out.astype(pfeats.dtype).reshape(B, chunk, ccells * Cout)
 
     chunks = jax.lax.map(jax.checkpoint(do_chunk), jnp.arange(n_chunks))
-    return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
+    return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, ccells * Cout)[:, :Nt]
 
 
 def dense_conv(
@@ -514,21 +718,23 @@ def dense_conv(
     Chunked over tiles; core rows are contiguous dynamic slices, halo
     slabs come from whole-tile row gathers of the 26 neighbors.
     """
-    if _use_pallas(kernel.shape[1], kernel.shape[-1]) and mask is not None:
-        from . import pallas_conv as PC
-
-        return PC.tile_conv(feats, nbr_rows, kernel, bias,
-                            mask.astype(jnp.bfloat16), size=TILE,
-                            relu=relu, flip=flip)
     B, Nt, FC = feats.shape
     Cin = kernel.shape[1]
     Cout = kernel.shape[-1]
-    assert FC == CELLS * Cin, (FC, CELLS, Cin)
+    assert FC % Cin == 0, (FC, Cin)
+    size = _size_from_cells(FC // Cin)
+    cells = size**3
+    if _use_pallas(Cin, Cout) and mask is not None:
+        from . import pallas_conv as PC
+
+        return PC.tile_conv(feats, nbr_rows, kernel, bias,
+                            mask.astype(jnp.bfloat16), size=size,
+                            relu=relu, flip=flip)
     kern = (kernel[::-1] if flip else kernel).astype(compute_dtype)
 
     x = feats.astype(compute_dtype)
 
-    chunk = _pick_chunk(Nt)
+    chunk = _pick_chunk(Nt, _chunk_target(size, Cin))
     n_chunks = -(-Nt // chunk)
     pad_tiles = n_chunks * chunk - Nt
     xp = jnp.pad(x, ((0, 0), (0, pad_tiles), (0, 0)))
@@ -545,30 +751,32 @@ def dense_conv(
     # kernels — scripts/exp_conv_cores.py, corrected timing protocol).
     w3 = kern.reshape(3, 3, 3, Cin, Cout)
 
-    slabs = _extract_slabs(xp, TILE, Cin)
+    slabs = _extract_slabs(xp, size, Cin)
 
     def do_chunk(ci):
         start = ci * chunk
-        halo = _build_halo_slabs(xp, slabs, nbrp, start, chunk, TILE, Cin, B,
+        halo = _build_halo_slabs(xp, slabs, nbrp, start, chunk, size, Cin, B,
                                  Nt, pad_tiles)
-        h = halo.reshape(B * chunk, TILE + 2, TILE + 2, TILE + 2, Cin)
+        h = halo.reshape(B * chunk, size + 2, size + 2, size + 2, Cin)
+        # No preferred_element_type: its vjp rejects mixed
+        # (f32 cotangent, bf16 kernel) operands, breaking training; the
+        # MXU accumulates f32 internally for bf16 convs regardless.
         acc = jax.lax.conv_general_dilated(
             h, w3, (1, 1, 1), "VALID",
             dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
-            preferred_element_type=jnp.float32,
         )
-        out = acc.reshape(B, chunk, CELLS, Cout)
+        out = acc.reshape(B, chunk, cells, Cout)
         if bias is not None:
             out = out + bias
         if maskp is not None:
-            m = jax.lax.dynamic_slice(maskp, (0, start, 0), (B, chunk, CELLS))
+            m = jax.lax.dynamic_slice(maskp, (0, start, 0), (B, chunk, cells))
             out = out * m.astype(out.dtype)[..., None]
         if relu:
             out = jnp.maximum(out, 0)
-        return out.astype(feats.dtype).reshape(B, chunk, CELLS * Cout)
+        return out.astype(feats.dtype).reshape(B, chunk, cells * Cout)
 
     chunks = jax.lax.map(jax.checkpoint(do_chunk), jnp.arange(n_chunks))
-    return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
+    return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, cells * Cout)[:, :Nt]
 
 
 def downsample_pack(
@@ -586,17 +794,29 @@ def downsample_pack(
 
     Replaces the gather-based strided convs of the analysis transform
     (/root/reference/model/transforms.py:49-51 downsampling stages).
+    T=2 grids take the cheaper whole-tile-row path (downsample_pack_t2).
     """
+    if grid.tile == 2:
+        return downsample_pack_t2(grid, feats, tile_capacity)
+    assert grid.tile == TILE, "downsample_pack requires T=2 or T=4 grids"
     Cdim = feats.shape[-1] // CELLS
     B, Nt = grid.keys.shape
+    span_in = grid_span(grid)
+    use_vol = _use_volume(span_in, Nt)
     tile_coords = C.unpack(grid.keys)
     valid = grid.valid
 
-    def tiles_item(tc_i, valid_i):
-        keys = jnp.sort(C.pack_valid(tc_i // 2, valid_i))
-        keep = C.unique_mask_sorted(keys)
-        out_keys, _, count = C.compact_keys(keys, keep, tile_capacity)
-        return out_keys, count
+    if use_vol:
+        def tiles_item(tc_i, valid_i):
+            flat = _flat_tile(tc_i // 2, span_in // 2, valid_i)
+            k_, _, c_ = _vol_keys(flat, span_in // 2, tile_capacity)
+            return k_, c_
+    else:
+        def tiles_item(tc_i, valid_i):
+            keys = jnp.sort(C.pack_valid(tc_i // 2, valid_i))
+            keep = C.unique_mask_sorted(keys)
+            out_keys, _, count = C.compact_keys(keys, keep, tile_capacity)
+            return out_keys, count
 
     keys2, count2 = jax.vmap(tiles_item)(tile_coords, valid)
 
@@ -651,6 +871,88 @@ def downsample_pack(
     return grid2, pf
 
 
+def downsample_pack_t2(
+    grid: TileGrid, feats: jax.Array, tile_capacity: int
+) -> Tuple[TileGrid, jax.Array]:
+    """Space-to-depth pack on T=2 grids: stride-s T=2 tiles -> stride-2s
+    T=2 tiles with the 2^3 cell parities folded into channels.
+
+    A T=2 tile at stride s spans exactly one stride-2s cell, so each
+    output CELL is one whole input TILE: the pack is a single
+    8-quadrant row gather per output tile with NO intra-row
+    transposes (the input tile's q-major [2^3, C] flat layout IS the
+    packed cell's q-major channel block). This is the T=2 analogue of
+    ``downsample_pack`` and feeds the same ``pack_stride2_kernel`` /
+    ``dense_conv2`` convs; T=2 grids keep the whole analysis pyramid at
+    ~19-32% cell fill on vox10 surfaces vs 5-15% for T=4
+    (/root/reference/model/transforms.py:49-51 downsampling stages).
+    """
+    assert grid.tile == 2, "downsample_pack_t2 requires T=2 grids"
+    B, Nt = grid.keys.shape
+    Crow = feats.shape[-1]  # 8 * C (one input tile row)
+    span_in = grid_span(grid)
+    use_vol = _use_volume(span_in, Nt)
+    tile_coords = C.unpack(grid.keys)
+    valid = grid.valid
+
+    if use_vol:
+        def tiles_item(tc_i, valid_i):
+            flat = _flat_tile(tc_i // 2, span_in // 2, valid_i)
+            k_, _, c_ = _vol_keys(flat, span_in // 2, tile_capacity)
+            return k_, c_
+    else:
+        def tiles_item(tc_i, valid_i):
+            keys = jnp.sort(C.pack_valid(tc_i // 2, valid_i))
+            keep = C.unique_mask_sorted(keys)
+            out_keys, _, count = C.compact_keys(keys, keep, tile_capacity)
+            return out_keys, count
+
+    keys2, count2 = jax.vmap(tiles_item)(tile_coords, valid)
+
+    CHUNK = min(16384, tile_capacity)
+    n_chunks = -(-tile_capacity // CHUNK)
+    pad2 = n_chunks * CHUNK - tile_capacity
+    keys2p = jnp.pad(keys2, ((0, 0), (0, pad2)), constant_values=C.INVALID_KEY)
+
+    def assemble(keys2_i, old_keys_i, f_i, m_i):
+        n_old = f_i.shape[0]
+        rank_vol = (_ranks_from_keys(old_keys_i, span_in, n_old)
+                    if use_vol else None)
+
+        def chunk(kc):  # [CHUNK] packed output tile keys
+            tc2 = C.unpack(kc)
+            v2 = kc != C.INVALID_KEY
+            quads_f = []
+            quads_m = []
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    for dz in (0, 1):
+                        t = tc2 * 2 + jnp.asarray([dx, dy, dz], jnp.int32)
+                        if use_vol:
+                            rows = rank_vol[_flat_tile(t, span_in, v2)]
+                        else:
+                            rows = C.lookup(old_keys_i, C.pack_valid(t, v2))
+                        hit = rows < n_old
+                        safe = jnp.minimum(rows, n_old - 1)
+                        gf = f_i[safe] * hit[:, None].astype(f_i.dtype)
+                        gm = jnp.any(m_i[safe], axis=-1) & hit
+                        quads_f.append(gf)   # [CHUNK, 8C]
+                        quads_m.append(gm)   # [CHUNK]
+            # Output-cell-major: cell (dx,dy,dz) = _flat_local order.
+            qf = jnp.stack(quads_f, axis=1).reshape(CHUNK, 8 * Crow)
+            qm = jnp.stack(quads_m, axis=1)  # [CHUNK, 8]
+            return qf, qm
+
+        qf, qm = jax.lax.map(jax.checkpoint(chunk), keys2_i.reshape(n_chunks, CHUNK))
+        return (qf.reshape(n_chunks * CHUNK, -1)[:tile_capacity],
+                qm.reshape(n_chunks * CHUNK, -1)[:tile_capacity])
+
+    pf, pm = jax.vmap(assemble)(keys2p, grid.keys, feats, grid.mask)
+    grid2 = TileGrid(keys=keys2, count=count2, mask=pm, stride=grid.stride * 2,
+                     tile=2)
+    return grid2, pf
+
+
 def pack_stride2_kernel(kernel: jax.Array) -> jax.Array:
     """[27, Cin, Cout] 3^3/stride-2 conv weights -> [8, 8*Cin, Cout]
     2^3-support weights on the packed grid.
@@ -698,19 +1000,21 @@ def dense_conv2(
     arrays, (T+1)^3 halo) — the packed inputs are channel-heavy
     (8x the pre-pack width), so halving slab memory matters at vox10.
     """
-    if _use_pallas(kernel8.shape[1], kernel8.shape[-1]) and mask is not None:
-        from . import pallas_conv as PC
-
-        return PC.tile_conv2(feats, nbr_rows, kernel8, bias,
-                             mask.astype(jnp.bfloat16), size=TILE, relu=relu)
     B, Nt, FC = feats.shape
     Cin = kernel8.shape[1]
     Cout = kernel8.shape[-1]
-    assert FC == CELLS * Cin, (FC, CELLS, Cin)
+    assert FC % Cin == 0, (FC, Cin)
+    size = _size_from_cells(FC // Cin)
+    cells = size**3
+    if _use_pallas(Cin, Cout) and mask is not None:
+        from . import pallas_conv as PC
+
+        return PC.tile_conv2(feats, nbr_rows, kernel8, bias,
+                             mask.astype(jnp.bfloat16), size=size, relu=relu)
     kern = kernel8.astype(compute_dtype)
     x = feats.astype(compute_dtype)
 
-    chunk = _pick_chunk(Nt)
+    chunk = _pick_chunk(Nt, _chunk_target(size, Cin))
     n_chunks = -(-Nt // chunk)
     pad_tiles = n_chunks * chunk - Nt
     xp = jnp.pad(x, ((0, 0), (0, pad_tiles), (0, 0)))
@@ -719,24 +1023,24 @@ def dense_conv2(
     if mask is not None:
         maskp = jnp.pad(mask, ((0, 0), (0, pad_tiles), (0, 0)))
     # Low faces only: directions with sign -1 on their priority axis.
-    xs = xp.reshape(B, Nt + pad_tiles, TILE, TILE, TILE, Cin)
-    full = slice(0, TILE)
+    xs = xp.reshape(B, Nt + pad_tiles, size, size, size, Cin)
+    full = slice(0, size)
     slabs = {}
     for axis in range(3):
         sl3 = [full, full, full]
-        sl3[axis] = _slab_slice(-1, TILE)
+        sl3[axis] = _slab_slice(-1, size)
         sl = xs[:, :, sl3[0], sl3[1], sl3[2]].reshape(B, Nt + pad_tiles, -1)
         slabs[(axis, -1)] = jnp.concatenate(
             [sl, jnp.zeros_like(sl[:, :1])], axis=1
         )
     miss = Nt + pad_tiles
-    T1 = TILE + 1
+    T1 = size + 1
 
     def do_chunk(ci):
         start = ci * chunk
         core = jax.lax.dynamic_slice(
-            xp, (0, start, 0), (B, chunk, CELLS * Cin)
-        ).reshape(B, chunk, TILE, TILE, TILE, Cin)
+            xp, (0, start, 0), (B, chunk, cells * Cin)
+        ).reshape(B, chunk, size, size, size, Cin)
         nbr_chunk = jax.lax.dynamic_slice(nbrp, (0, 0, start), (B, 26, chunk))
         piece = {(0, 0, 0): core}
         for di, d in enumerate(_DIRS):
@@ -747,13 +1051,13 @@ def dense_conv2(
             a = _face_axis(d)
             g = jax.vmap(lambda arr, r: jnp.take(arr, r, axis=0))(
                 slabs[(a, -1)], rows)
-            fshape = [TILE, TILE, TILE]
+            fshape = [size, size, size]
             fshape[a] = 1
             g = g.reshape((B, chunk) + tuple(fshape) + (Cin,))
             sl3 = [full, full, full]
             for ax in range(3):
                 if ax != a:
-                    sl3[ax] = _slab_slice(d[ax], TILE)
+                    sl3[ax] = _slab_slice(d[ax], size)
             piece[d] = g[:, :, sl3[0], sl3[1], sl3[2]]
         # Hierarchical concat into a (T+1)^3 low-haloed block.
         planes_x = []
@@ -772,20 +1076,19 @@ def dense_conv2(
         acc = jax.lax.conv_general_dilated(
             h, w2, (1, 1, 1), "VALID",
             dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
-            preferred_element_type=jnp.float32,
-        )
-        out = acc.reshape(B, chunk, CELLS, Cout)
+        )  # no preferred_element_type: see dense_conv
+        out = acc.reshape(B, chunk, cells, Cout)
         if bias is not None:
             out = out + bias
         if maskp is not None:
-            m = jax.lax.dynamic_slice(maskp, (0, start, 0), (B, chunk, CELLS))
+            m = jax.lax.dynamic_slice(maskp, (0, start, 0), (B, chunk, cells))
             out = out * m.astype(out.dtype)[..., None]
         if relu:
             out = jnp.maximum(out, 0)
-        return out.astype(feats.dtype).reshape(B, chunk, CELLS * Cout)
+        return out.astype(feats.dtype).reshape(B, chunk, cells * Cout)
 
     chunks = jax.lax.map(jax.checkpoint(do_chunk), jnp.arange(n_chunks))
-    return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, CELLS * Cout)[:, :Nt]
+    return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, cells * Cout)[:, :Nt]
 
 
 def apply_mask(grid: TileGrid, feats: jax.Array) -> jax.Array:
@@ -795,9 +1098,10 @@ def apply_mask(grid: TileGrid, feats: jax.Array) -> jax.Array:
     instead of materializing a full-width padded pred array (observed
     1.75GB at vox10 scale)."""
     B, Nt, FC = feats.shape
-    Cdim = FC // CELLS
+    cells = grid.mask.shape[-1]
+    Cdim = FC // cells
     m = (grid.mask & grid.valid[:, :, None]).astype(feats.dtype)[..., None]
-    f = feats.reshape(B, Nt, CELLS, Cdim)
+    f = feats.reshape(B, Nt, cells, Cdim)
     return (f * m).reshape(B, Nt, FC)
 
 
@@ -815,13 +1119,15 @@ def extract_sparse(
     of the compacted rows (tile-major order is not global key order).
     """
     B, Nt = grid.keys.shape
-    Cdim = feats.shape[-1] // CELLS
+    tile = grid.tile
+    cells = tile**3
+    Cdim = feats.shape[-1] // cells
     t = grid.stride
 
     tile_coords = C.unpack(grid.keys)
-    lx = jnp.arange(TILE, dtype=jnp.int32)
-    local = jnp.stack(jnp.meshgrid(lx, lx, lx, indexing="ij"), axis=-1).reshape(CELLS, 3)
-    cell = tile_coords[:, :, None, :] * TILE + local[None, None]  # [B,Nt,CELLS,3]
+    lx = jnp.arange(tile, dtype=jnp.int32)
+    local = jnp.stack(jnp.meshgrid(lx, lx, lx, indexing="ij"), axis=-1).reshape(cells, 3)
+    cell = tile_coords[:, :, None, :] * tile + local[None, None]  # [B,Nt,cells,3]
     keys = C.pack(jnp.clip(cell * t, 0, C.COORD_RANGE - 1))
     keys = jnp.where(keep_mask & grid.valid[:, :, None], keys, C.INVALID_KEY)
 

@@ -28,7 +28,7 @@ def timed(name, fn, *args, n=1):
     return out
 
 
-def main(n_points=780_000):
+def main(n_points=780_000, stack_tile=4):
     import dataclasses
 
     import jax
@@ -42,8 +42,10 @@ def main(n_points=780_000):
     coords, colors = surface_cloud(n_points, resolution=1024, seed=0)
     n = coords.shape[0]
     caps = dataclasses.replace(
-        Capacities.for_cloud(coords, margin=1.2), same_tile_fraction=1.05
+        Capacities.for_cloud(coords, margin=1.2), same_tile_fraction=1.05,
+        stack_tile=stack_tile,
     )
+    log(f"stack_tile={stack_tile}")
     model = ColorModel(caps=caps)
     cap1 = caps.cap(1)
     pc = np.zeros((1, cap1, 3), np.int32)
@@ -102,4 +104,5 @@ def main(n_points=780_000):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 780_000)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 780_000,
+         int(sys.argv[2]) if len(sys.argv) > 2 else 4)

@@ -108,6 +108,77 @@ def test_dense_conv_matches_streamed_conv():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_volume_paths_match_sort(monkeypatch):
+    """Dense tile-rank volume construction/lookup == the sort/searchsorted
+    path (keys, counts, masks, features, neighbor rows) for every op that
+    dispatches on _use_volume."""
+    rng = np.random.default_rng(11)
+    clouds = [make_cloud(rng, 100 + 30 * b, lim=1024, c=5, stride=8)
+              for b in range(2)]
+    st = build_st(clouds, capacity=256, stride=8)
+
+    def snapshot():
+        grid, feats = TL.rasterize(st, 256)
+        nbr = TL.neighbor_rows(grid.keys, TL.grid_span(grid))
+        sc = TL.scatter_feats(grid, st)
+        gu, emb = TL.build_upsample_grid(st, 1024)
+        pg, pf = TL.downsample_pack(grid, feats, 256)
+        g2, f2 = TL.rasterize(st, 512, tile=2)
+        pg2, pf2 = TL.downsample_pack(g2, f2, 256)
+        return grid, feats, nbr, sc, gu, emb, pg, pf, g2, f2, pg2, pf2
+
+    base = snapshot()
+    assert not TL._use_volume(TL.grid_span(base[0]), st.keys.shape[1])
+    monkeypatch.setattr(TL, "VOL_ROWS_RATIO", 10**9)
+    assert TL._use_volume(TL.grid_span(base[0]), st.keys.shape[1])
+    vol = snapshot()
+
+    names = ["grid", "feats", "nbr", "sc", "gu", "emb", "pg", "pf",
+             "g2", "f2", "pg2", "pf2"]
+    for name, a, b in zip(names, base, vol):
+        if isinstance(a, TL.TileGrid):
+            np.testing.assert_array_equal(np.asarray(a.keys),
+                                          np.asarray(b.keys), err_msg=name)
+            np.testing.assert_array_equal(np.asarray(a.count),
+                                          np.asarray(b.count), err_msg=name)
+            np.testing.assert_array_equal(np.asarray(a.mask),
+                                          np.asarray(b.mask), err_msg=name)
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=name)
+
+
+def test_dense_conv_t2_matches_sparse():
+    """T=2 same-stride tile conv == streamed sparse conv on the same
+    coordinate set (the low-padding path of the FiLM/post stacks)."""
+    rng = np.random.default_rng(7)
+    p, f = make_cloud(rng, 120, lim=64, c=6, stride=2)
+    st = build_st([(p, f)], capacity=128, stride=2)
+    W = jnp.asarray(rng.standard_normal((27, 6, 5)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(5).astype(np.float32))
+
+    for tile in (2, 4):
+        grid, feats = TL.rasterize(st, tile_capacity=256, tile=tile)
+        nbr = TL.neighbor_rows(grid.keys)
+        mask = grid.mask & grid.valid[:, :, None]
+        out = TL.dense_conv(feats, nbr, W, b, mask=mask,
+                            compute_dtype=jnp.float32)
+        got = TL.extract_sparse(grid, out, mask, capacity=128)
+
+        from lcpcga_tpu.ops import coords as C
+        from lcpcga_tpu.ops.conv import sparse_conv_streamed
+
+        ref = sparse_conv_streamed(st, st, C.conv_offsets(3, st.stride), W, b,
+                                   compute_dtype=jnp.float32)
+        n = int(st.count[0])
+        assert int(got.count[0]) == n
+        np.testing.assert_array_equal(np.asarray(got.keys[0, :n]),
+                                      np.asarray(st.keys[0, :n]))
+        np.testing.assert_allclose(np.asarray(got.feats[0, :n]),
+                                   np.asarray(ref[0, :n]),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_synthesis_tiled_matches_sparse():
     """Full synthesis transform: tiled and sparse paths agree (same params)."""
     import jax
