@@ -56,7 +56,9 @@ def main(epochs=40, num_frames=10):
         val_frames.append({"points": c, "colors": col,
                            "sequence": f"synthetic_val_{i}", "frame": i})
 
-    trainer.train(val_every=10, val_frames=val_frames)
+    # Validation builds a full bucketed codec (~10 min compile on the
+    # tunneled chip); keep it rare so wall-clock goes to steps.
+    trainer.train(val_every=20, val_frames=val_frames)
     print("weights:", trainer.export_weights(), flush=True)
 
 
