@@ -10,6 +10,7 @@ driver provides the real TPU chip).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -48,8 +49,6 @@ def main():
     )
     model = ColorModel(caps=caps)
 
-    # Random weights: timing-representative (same FLOPs/memory as
-    # trained weights; rate is meaningless until training lands).
     cap1 = caps.cap(1)
     pc = np.zeros((1, cap1, 3), np.int32)
     pf = np.zeros((1, cap1, 3), np.float32)
@@ -64,8 +63,19 @@ def main():
         {"params": jax.random.PRNGKey(1), "noise": jax.random.PRNGKey(2)}, x, q, lam
     )
 
-    # Random weights spread top-k selections wider than trained ones;
-    # tile-grid overflows are timing-neutral here (see strict_overflow).
+    # Trained weights when the synthetic-flagship export exists (rate is
+    # then meaningful); random weights otherwise (timing-representative:
+    # same FLOPs/memory — but top-k selections spread wider than any
+    # trained model's, hence strict_overflow=False below).
+    weights = "results/synthetic_flagship/weights.msgpack"
+    trained = False
+    if os.path.exists(weights):
+        from flax import serialization
+
+        with open(weights, "rb") as f:
+            params = serialization.from_bytes(params, f.read())
+        trained = True
+
     codec = PointCloudCodec(model, params, strict_overflow=False)
     codec.update()
 
@@ -91,7 +101,8 @@ def main():
             "n_points": int(n),
             "t_encode_s": round(t_enc, 4),
             "t_decode_s": round(t_dec, 4),
-            "bpp_random_weights": round(r["bpp"], 3),
+            ("bpp" if trained else "bpp_random_weights"): round(r["bpp"], 3),
+            "weights": "trained" if trained else "random",
             "backend": jax.default_backend(),
         },
     }

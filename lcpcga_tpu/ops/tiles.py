@@ -65,6 +65,46 @@ def _chunk_target(size: int, cin: int = 64) -> int:
     return max(CONV_TILE_CHUNK, min(16384, CONV_CHUNK_BYTES // halo_bytes))
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _conv3d(h: jax.Array, w: jax.Array) -> jax.Array:
+    """VALID 3D conv with f32 accumulation and a differentiable wrapper.
+
+    ``preferred_element_type=f32`` keeps the pre-bias result exact, but
+    its built-in vjp rejects the mixed (f32 cotangent, bf16 kernel)
+    transpose it produces; the custom backward casts the cotangent to
+    the operand dtype and differentiates the plain bf16 conv instead —
+    gradients differ only by cotangent rounding (fine for training),
+    while the forward stays bit-identical for the codec."""
+    return jax.lax.conv_general_dilated(
+        h, w, (1, 1, 1), "VALID",
+        dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _conv3d_fwd(h, w):
+    return _conv3d(h, w), (h, w)
+
+
+def _conv3d_bwd(res, g):
+    h, w = res
+
+    def plain(h_, w_):
+        return jax.lax.conv_general_dilated(
+            h_, w_, (1, 1, 1), "VALID",
+            dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
+        )
+
+    _, vjp = jax.vjp(plain, h, w)
+    return vjp(g.astype(h.dtype))
+
+
+_conv3d.defvjp(_conv3d_fwd, _conv3d_bwd)
+
+
 def _pick_chunk(n_tiles: int, target: int = CONV_TILE_CHUNK) -> int:
     """Chunk size near ``target`` that divides n_tiles when possible —
     avoiding the jnp.pad of the whole tile array (a multi-GB copy for
@@ -758,13 +798,7 @@ def dense_conv(
         halo = _build_halo_slabs(xp, slabs, nbrp, start, chunk, size, Cin, B,
                                  Nt, pad_tiles)
         h = halo.reshape(B * chunk, size + 2, size + 2, size + 2, Cin)
-        # No preferred_element_type: its vjp rejects mixed
-        # (f32 cotangent, bf16 kernel) operands, breaking training; the
-        # MXU accumulates f32 internally for bf16 convs regardless.
-        acc = jax.lax.conv_general_dilated(
-            h, w3, (1, 1, 1), "VALID",
-            dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
-        )
+        acc = _conv3d(h, w3)
         out = acc.reshape(B, chunk, cells, Cout)
         if bias is not None:
             out = out + bias
@@ -1073,10 +1107,7 @@ def dense_conv2(
         # dense_conv). Tap ti = (sx*2+sy)*2+sz matches the conv's
         # kernel-position order exactly.
         w2 = kern.reshape(2, 2, 2, Cin, Cout)
-        acc = jax.lax.conv_general_dilated(
-            h, w2, (1, 1, 1), "VALID",
-            dimension_numbers=("NXYZC", "XYZIO", "NXYZC"),
-        )  # no preferred_element_type: see dense_conv
+        acc = _conv3d(h, w2)
         out = acc.reshape(B, chunk, cells, Cout)
         if bias is not None:
             out = out + bias

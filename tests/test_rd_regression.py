@@ -60,6 +60,8 @@ def trained_codec():
         params = serialization.from_bytes(params, f.read())
     codec = PointCloudCodec(model, params)
     codec.update()
+    codec._test_config = config      # for path-A/B test below
+    codec._test_params = params
     return codec, coords, colors
 
 
@@ -90,3 +92,40 @@ def test_quality_improves_with_rate(trained_codec):
     # high-rate point and improve with rate.
     assert psnrs[1] > psnrs[0], psnrs
     assert psnrs[1] > 18.0, psnrs
+
+
+def test_tiled_and_streamed_paths_decode_same_stream(trained_codec):
+    """Trained-weight A/B (VERDICT r1 weak #7): the SAME bitstream
+    decoded by the tiled-dense path and by the streamed gather path
+    (reference semantics) must produce near-identical reconstructions —
+    the two execution strategies share parameters and are only
+    bf16-reduction-order apart."""
+    import dataclasses
+
+    from lcpcga_tpu.codec_runtime import PointCloudCodec
+    from lcpcga_tpu.models import make_model
+
+    codec, coords, colors = trained_codec
+    stream, _ = codec.compress(coords, colors, (0.2, 0.4),
+                               return_debug=False)
+    rc_t, rcol_t = codec.decompress(stream)
+
+    caps_s = dataclasses.replace(
+        codec.caps, tile_fraction=0.0, same_tile_fraction=0.0,
+        post_tile_fraction=0.0, cand_factor=27,
+    )
+    model_s = make_model(codec._test_config["model"], caps_s)
+    dec_s = PointCloudCodec(model_s, codec._test_params)
+    dec_s.update()
+    rc_s, rcol_s = dec_s.decompress(stream)
+
+    assert rc_t.shape == rc_s.shape
+    kt = (rc_t[:, 0].astype(np.int64) << 20) | (rc_t[:, 1].astype(np.int64) << 10) \
+        | rc_t[:, 2].astype(np.int64)
+    ks = (rc_s[:, 0].astype(np.int64) << 20) | (rc_s[:, 1].astype(np.int64) << 10) \
+        | rc_s[:, 2].astype(np.int64)
+    common, ti, si = np.intersect1d(kt, ks, return_indices=True)
+    # bf16 tie-breaks may flip a few near-threshold top-k survivors.
+    assert len(common) >= 0.97 * len(kt), (len(common), len(kt))
+    err = np.abs(rcol_t[ti] - rcol_s[si])
+    assert np.median(err) < 0.02, np.median(err)
