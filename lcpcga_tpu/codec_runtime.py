@@ -43,6 +43,9 @@ from .ops import coords as C
 
 LATENT_STRIDE = 8
 Z_STRIDE = 32
+# Escape-list capacity for the int8 residual wire carrier (entries with
+# |v| > 127; trained residuals are overwhelmingly sub-int8).
+ESC_CAP = 4096
 
 
 def _channel_indexes(n: int, c: int) -> np.ndarray:
@@ -201,21 +204,60 @@ class PointCloudCodec:
 
         # Wire-compact transfer helpers: the tunneled TPU moves
         # ~10-60 MB/s host<->device, so the y-latent round trip ships
-        # int16 residuals + uint8 scale indexes instead of f32 tensors
-        # (saves ~55 MB per vox10 round trip).
+        # int8 residuals (+ a small escape list for the rare |v| > 127
+        # entries, packed into ONE int32 fetch) and uint8 scale indexes
+        # instead of f32 tensors. Trained residuals are overwhelmingly
+        # sub-int8; overflowing the escape budget falls back to the
+        # int16 path, int16 overflow to the f32 path. Values are integer
+        # exact on every path — only the carrier width differs.
         @jax.jit
-        def quantize_y_fn(y_feats, means, indexes):
-            v = jnp.round(y_feats - means)
+        def quantize_y_fn(y_feats, means, indexes, valid):
+            v = jnp.round(y_feats - means) * valid[..., None]
             overflow = jnp.max(jnp.abs(v)) > 32000.0
-            return v.astype(jnp.int16), indexes.astype(jnp.uint8), overflow
+            flat = v.reshape(v.shape[0], -1)
+            esc = jnp.abs(flat) > 127.0
+            n_esc = jnp.sum(esc, axis=-1).astype(jnp.int32)
+
+            def esc_item(flat_i, esc_i, n_i):
+                dest = jnp.where(esc_i,
+                                 jnp.cumsum(esc_i.astype(jnp.int32)) - 1,
+                                 ESC_CAP)
+                pos = jnp.full((ESC_CAP,), -1, jnp.int32).at[dest].set(
+                    jnp.arange(flat_i.shape[0], dtype=jnp.int32), mode="drop")
+                val = jnp.zeros((ESC_CAP,), jnp.int32).at[dest].set(
+                    flat_i.astype(jnp.int32), mode="drop")
+                return jnp.concatenate([pos, val, n_i[None]])
+
+            # [B, 2*ESC_CAP + 1]; the trailing slot carries the escape
+            # count so the host learns it in the same small fetch.
+            esc_packed = jax.vmap(esc_item)(flat, esc, n_esc)
+            v8 = jnp.clip(v, -127.0, 127.0).astype(jnp.int8)
+            return (v8, esc_packed, v.astype(jnp.int16),
+                    indexes.astype(jnp.uint8), overflow)
 
         @jax.jit
-        def dequantize_y_fn(v16_pad, means, valid):
+        def dequantize_y_fn(v8_pad, esc_packed, means, valid):
+            B = v8_pad.shape[0]
+            flat = v8_pad.reshape(B, -1).astype(jnp.float32)
+
+            def apply_esc(flat_i, esc_i):
+                pos, val = esc_i[:ESC_CAP], esc_i[ESC_CAP:]
+                safe = jnp.where(pos >= 0, pos, flat_i.shape[0])
+                return flat_i.at[safe].set(val.astype(jnp.float32),
+                                           mode="drop")
+
+            flat = jax.vmap(apply_esc)(flat, esc_packed)
+            y = flat.reshape(v8_pad.shape) + means
+            return jnp.where(valid[..., None], y, 0.0)
+
+        @jax.jit
+        def dequantize_y16_fn(v16_pad, means, valid):
             y = v16_pad.astype(jnp.float32) + means
             return jnp.where(valid[..., None], y, 0.0)
 
         self._quantize_y = quantize_y_fn
         self._dequantize_y = dequantize_y_fn
+        self._dequantize_y16 = dequantize_y16_fn
 
         def synthesis_fn(params, y_hat, q_hat, k):
             x, qf, _, ov_a = synth_a_fn(params, y_hat, q_hat, k)
@@ -383,16 +425,31 @@ class PointCloudCodec:
             self.params, y_coords, jnp.asarray(z_hat_pad)
         )
 
-        # Host: y stream (residuals quantized on device, shipped int16 +
-        # uint8 indexes; int16 overflow falls back to the wide path).
+        # Host: y stream (residuals quantized on device, shipped int8 +
+        # escape list + uint8 indexes; escape-budget overflow falls back
+        # to int16, int16 overflow to the wide f32 path).
         n_y = int(y.count[0])
-        v16, idx8, wide = self._quantize_y(y.feats, means, indexes)
+        v8, esc_packed, v16, idx8, wide = self._quantize_y(
+            y.feats, means, indexes, y.valid
+        )
         if bool(np.asarray(wide)):
             y_feats = np.asarray(y.feats[0, :n_y], np.float32)
             means_host = np.asarray(means[0, :n_y], np.float32)
             v_y = np.round(y_feats - means_host).astype(np.int32)
         else:
-            v_y = np.asarray(v16[0, :n_y]).astype(np.int32)
+            ep = np.asarray(esc_packed[0])
+            n_esc = int(ep[-1])
+            if n_esc > ESC_CAP:
+                v_y = np.asarray(v16[0, :n_y]).astype(np.int32)
+            else:
+                v_y = np.asarray(v8[0, :n_y]).astype(np.int32)
+                if n_esc:
+                    pos = ep[:n_esc]
+                    val = ep[ESC_CAP:ESC_CAP + n_esc]
+                    flat = v_y.reshape(-1)
+                    # Escapes are valid-masked on device, so every
+                    # position falls inside the first n_y rows.
+                    flat[pos] = val
         idx_np = np.asarray(idx8[0, :n_y]).astype(np.int32)
         y_payload = rans_encode(v_y.ravel(), idx_np.ravel(), self.tables_y)
 
@@ -511,19 +568,37 @@ class PointCloudCodec:
             self.params, y_coords, jnp.asarray(z_hat_pad)
         )
 
-        # y stream: only the uint8 indexes come down and only int16
-        # residuals go back up; the f32 add happens on device (the same
-        # IEEE f32 add as the host path — int16-exact values + means).
+        # y stream: only the uint8 indexes come down and only int8
+        # residuals (+ escape list) go back up; the f32 add happens on
+        # device (the same IEEE f32 add as the host path — integer-exact
+        # values + means on every carrier width).
         if not hasattr(self, "_idx_u8_fn"):
             self._idx_u8_fn = jax.jit(lambda i: i.astype(jnp.uint8))
         idx_np = np.asarray(self._idx_u8_fn(indexes)[0, :n_y]).astype(np.int32)
         cb = means.shape[-1]
         v_y = rans_decode(stream.y_payload, idx_np.ravel(), self.tables_y).reshape(n_y, cb)
-        if np.abs(v_y).max(initial=0) <= 32000:
+        vmax = np.abs(v_y).max(initial=0)
+        esc_rows, esc_cols = np.nonzero(np.abs(v_y) > 127)
+        if vmax <= 32000 and len(esc_rows) <= ESC_CAP:
+            # int8 carrier + escape list (mirrors the encoder's wire).
+            v8_pad = np.zeros((1, cap8, cb), np.int8)
+            v8_pad[0, :n_y] = np.clip(v_y, -127, 127).astype(np.int8)
+            ep = np.zeros((1, 2 * ESC_CAP), np.int32)
+            ep[0, :ESC_CAP] = -1
+            n_esc = len(esc_rows)
+            if n_esc:
+                ep[0, :n_esc] = esc_rows * cb + esc_cols
+                ep[0, ESC_CAP:ESC_CAP + n_esc] = v_y[esc_rows, esc_cols]
+            y_hat = y_coords.with_feats(
+                self._dequantize_y(jnp.asarray(v8_pad), jnp.asarray(ep),
+                                   means, y_coords.valid)
+            )
+            y_hat_feats = None
+        elif vmax <= 32000:
             v_pad = np.zeros((1, cap8, cb), np.int16)
             v_pad[0, :n_y] = v_y.astype(np.int16)
             y_hat = y_coords.with_feats(
-                self._dequantize_y(jnp.asarray(v_pad), means, y_coords.valid)
+                self._dequantize_y16(jnp.asarray(v_pad), means, y_coords.valid)
             )
             y_hat_feats = None
         else:

@@ -159,3 +159,51 @@ def test_roundtrip_at_multiple_operating_points(codec):
         (rc, _), dec_dbg = c.decompress(stream, return_debug=True)
         np.testing.assert_array_equal(enc_dbg["y_hat"], dec_dbg["y_hat"])
         assert rc.shape[0] == coords.shape[0]
+
+
+def test_int8_escape_carrier_exact(codec):
+    """The int8 residual wire carrier with escapes reproduces the exact
+    integer+means values of the int16 carrier for |v| in (127, 32000]."""
+    from lcpcga_tpu.codec_runtime import ESC_CAP
+
+    codec, _, _ = codec
+    rng = np.random.default_rng(3)
+    cap8 = codec.caps.cap(8)
+    cb = 8
+    n_y = 40
+    means = jnp.asarray(rng.standard_normal((1, cap8, cb)).astype(np.float32))
+    valid = jnp.asarray(np.arange(cap8)[None, :] < n_y)
+    v = rng.integers(-100, 100, size=(1, cap8, cb)).astype(np.float32)
+    # Escapes: a handful of wide residuals inside the valid rows.
+    v[0, 3, 2] = 500.0
+    v[0, 17, 0] = -3000.0
+    v[0, n_y - 1, cb - 1] = 31999.0
+    v[0, n_y:] = 0.0
+    y_feats = jnp.asarray(v) + means
+
+    v8, esc_packed, v16, _, wide = codec._quantize_y(
+        y_feats, means, jnp.zeros((1, cap8, cb), jnp.int32), valid
+    )
+    assert not bool(np.asarray(wide))
+    ep = np.asarray(esc_packed[0])
+    assert int(ep[-1]) == 3
+    # Host reconstruction (encoder side).
+    v_host = np.asarray(v8[0, :n_y]).astype(np.int32)
+    flat = v_host.reshape(-1)
+    flat[ep[:3]] = ep[ESC_CAP:ESC_CAP + 3]
+    np.testing.assert_array_equal(v_host, v[0, :n_y].astype(np.int32))
+
+    # Device reconstruction (decoder side).
+    v8_pad = np.zeros((1, cap8, cb), np.int8)
+    v8_pad[0, :n_y] = np.clip(v[0, :n_y], -127, 127).astype(np.int8)
+    ep2 = np.zeros((1, 2 * ESC_CAP), np.int32)
+    ep2[0, :ESC_CAP] = -1
+    er, ec = np.nonzero(np.abs(v[0, :n_y]) > 127)
+    ep2[0, :len(er)] = er * cb + ec
+    ep2[0, ESC_CAP:ESC_CAP + len(er)] = v[0, :n_y][er, ec].astype(np.int32)
+    y_dev = codec._dequantize_y(jnp.asarray(v8_pad), jnp.asarray(ep2),
+                                means, valid)
+    ref = codec._dequantize_y16(
+        jnp.asarray(v[0][None].astype(np.int16)), means, valid
+    )
+    np.testing.assert_array_equal(np.asarray(y_dev), np.asarray(ref))
