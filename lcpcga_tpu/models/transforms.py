@@ -471,34 +471,33 @@ class SparseSynthesisTransform(nn.Module):
             no_ov = jnp.zeros(x.batch_size, bool)
             return sb(x, nbr, bg), no_ov
 
-        # Rasterize once (q is tiny); the FiLM (beta, gamma) tensor is 2C
-        # channels wide — as a grid it would be the biggest buffer of the
-        # whole decode (7.5GB at vox10 stride 2), so it is extracted to
-        # rows immediately and FiLM is applied row-wise between the two
-        # conv pairs.
+        # Rasterize once (q is tiny). The whole stack stays in GRID form
+        # — FiLM applies cellwise on the grid (the bf16 beta/gamma grid
+        # is materialized by the QPredict convs anyway), and the output
+        # comes back to rows via ONE gather at precomputed positions:
+        # the coordinate set is preserved, so extraction is a gather,
+        # not a cumsum+argsort compaction (TL.row_positions).
         grid, qg = TL.rasterize(qf, tile_cap, tile=self.caps.stack_tile)
         nbr_rows = TL.neighbor_rows(grid.keys, TL.grid_span(grid))
         mask = grid.mask & grid.valid[:, :, None]
+        pos = TL.row_positions(grid, x)
 
         bg_grid = qp.chain.grid(qg.astype(jnp.bfloat16), nbr_rows, mask)
-        bg = TL.extract_sparse(grid, bg_grid, mask, x.capacity,
-                               feats_dtype=jnp.float32)
-        del bg_grid
-
-        xg = TL.scatter_feats(grid, x, dtype=jnp.bfloat16)
+        xg = TL.scatter_feats(grid, x, dtype=jnp.bfloat16, positions=pos)
         residual = x.feats
+        B, Nt, _ = xg.shape
+        cells = mask.shape[-1]
+        c = sb.channels
         x1g = sb.conv1.grid(xg, nbr_rows, mask)
-        x1 = TL.extract_sparse(grid, x1g, mask, x.capacity,
-                               feats_dtype=jnp.float32)
-        beta, gamma = jnp.split(bg.feats, 2, axis=-1)
-        filmed = x.with_feats(x1.feats * beta + gamma)
-        x2g = sb.conv2.grid(
-            TL.scatter_feats(grid, filmed, dtype=jnp.bfloat16), nbr_rows, mask
-        )
-        x2 = TL.extract_sparse(grid, x2g, mask, x.capacity,
-                               feats_dtype=jnp.float32)
+        bgc = bg_grid.reshape(B, Nt, cells, -1)
+        beta, gamma = jnp.split(bgc, 2, axis=-1)
+        x1c = x1g.reshape(B, Nt, cells, c)
+        m = mask[..., None].astype(x1c.dtype)
+        filmed = ((x1c * beta + gamma) * m).reshape(B, Nt, cells * c)
+        x2g = sb.conv2.grid(filmed, nbr_rows, mask)
+        x2 = TL.gather_rows(grid, x2g, pos, out_dtype=jnp.float32)
         # Same coordinate set in canonical order -> rows align with x.
-        return x.with_feats(x2.feats + residual), grid.count >= tile_cap
+        return x.with_feats(x2 + residual), grid.count >= tile_cap
 
     # Decode runs the stages as SEPARATE jitted programs (codec_runtime)
     # so per-program HBM peaks stay bounded at vox10 scale — the
@@ -545,8 +544,10 @@ class SparseSynthesisTransform(nn.Module):
             nbr_rows = TL.neighbor_rows(grid.keys, TL.grid_span(grid))
             mask = grid.mask & grid.valid[:, :, None]
             out = self.post.grid(feats.astype(jnp.bfloat16), nbr_rows, mask)
-            ext = TL.extract_sparse(grid, out, mask, x.capacity)
-            return x.with_feats(ext.feats), grid.count >= tile1
+            # Coordinate set preserved -> row extraction is one gather.
+            pos = TL.row_positions(grid, x)
+            ext = TL.gather_rows(grid, out, pos, out_dtype=jnp.float32)
+            return x.with_feats(ext), grid.count >= tile1
         nbr1 = self_kernel_map(x)
         x = self.post(x, nbr1)
         return x, jnp.zeros(x.batch_size, bool)

@@ -424,10 +424,16 @@ def rasterize(
     return grid, feats.reshape(B, tile_capacity, cells * Cdim)
 
 
-def scatter_feats(grid: TileGrid, st: SparseTensor, dtype=None) -> jax.Array:
-    """Scatter row features onto an existing grid (st's coordinate set
-    must be the grid's occupied cells). Returns [B, Nt, T^3 * C]."""
-    Cdim = st.num_channels
+def row_positions(grid: TileGrid, st: SparseTensor) -> jax.Array:
+    """[B, N] flat cell index (into [Nt * T^3]) of each row of ``st``
+    on ``grid`` (misses / padding rows -> Nt * T^3, the zero row).
+
+    st's coordinate set must lie inside the grid's cells. When a conv
+    stack PRESERVES the coordinate set, pulling rows back out of the
+    grid is a pure gather at these positions (st's canonical row order
+    is kept by construction) — no cumsum-compact + argsort extraction
+    (extract_sparse) needed. One rank-volume scatter per item.
+    """
     B, Nt = grid.keys.shape
     tile = grid.tile
     cells = tile**3
@@ -435,20 +441,58 @@ def scatter_feats(grid: TileGrid, st: SparseTensor, dtype=None) -> jax.Array:
     use_vol = _use_volume(span, Nt)
     cell = st.coords // st.stride
     valid = st.valid
-    feats = st.feats if dtype is None else st.feats.astype(dtype)
 
-    def scatter(tile_keys_i, cell_i, feats_i, valid_i):
+    def item(tile_keys_i, cell_i, valid_i):
         if use_vol:
             rank_vol = _ranks_from_keys(tile_keys_i, span, Nt)
             trow = rank_vol[_flat_tile(cell_i // tile, span, valid_i)]
         else:
             trow = C.lookup(tile_keys_i, C.pack_valid(cell_i // tile, valid_i))
         flat = trow * cells + _flat_local(cell_i % tile, tile)
-        flat = jnp.where(valid_i & (trow < Nt), flat, Nt * cells)
+        return jnp.where(valid_i & (trow < Nt), flat, Nt * cells)
+
+    return jax.vmap(item)(grid.keys, cell, valid)
+
+
+def gather_rows(
+    grid: TileGrid, feats: jax.Array, positions: jax.Array,
+    out_dtype=jnp.float32,
+) -> jax.Array:
+    """Gather per-row features out of grid storage at precomputed
+    :func:`row_positions`. feats [B, Nt, T^3 * C]; positions [B, N].
+    Returns [B, N, C] (zero rows at miss positions)."""
+    B, Nt = grid.keys.shape
+    cells = grid.tile**3
+    Cdim = feats.shape[-1] // cells
+    flat = feats.reshape(B, Nt * cells, Cdim)
+    # Miss positions index one past the end; fill-mode gather avoids
+    # concatenating a zero row (a full copy of the grid tensor).
+    out = jnp.take_along_axis(
+        flat, positions[..., None], axis=1, mode="fill", fill_value=0
+    )
+    return out.astype(out_dtype)
+
+
+def scatter_feats(
+    grid: TileGrid, st: SparseTensor, dtype=None,
+    positions: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Scatter row features onto an existing grid (st's coordinate set
+    must be the grid's occupied cells). Returns [B, Nt, T^3 * C].
+    ``positions`` (from :func:`row_positions`) skips the per-call rank
+    lookup when the caller scatters/gathers the same set repeatedly."""
+    Cdim = st.num_channels
+    B, Nt = grid.keys.shape
+    cells = grid.tile**3
+    feats = st.feats if dtype is None else st.feats.astype(dtype)
+    if positions is None:
+        positions = row_positions(grid, st)
+
+    def scatter(flat, feats_i):
         dense = jnp.zeros((Nt * cells, Cdim), feats_i.dtype)
         return dense.at[flat].set(feats_i, mode="drop")
 
-    out = jax.vmap(scatter)(grid.keys, cell, feats, valid)
+    out = jax.vmap(scatter)(positions, feats)
     return out.reshape(B, Nt, cells * Cdim)
 
 
