@@ -67,14 +67,17 @@ def main():
     # then meaningful); random weights otherwise (timing-representative:
     # same FLOPs/memory — but top-k selections spread wider than any
     # trained model's, hence strict_overflow=False below).
-    weights = "results/synthetic_flagship/weights.msgpack"
+    here = os.path.dirname(os.path.abspath(__file__))
     trained = False
-    if os.path.exists(weights):
-        from flax import serialization
+    for weights in (os.path.join(here, "trained", "weights.msgpack"),
+                    "results/synthetic_flagship/weights.msgpack"):
+        if os.path.exists(weights):
+            from flax import serialization
 
-        with open(weights, "rb") as f:
-            params = serialization.from_bytes(params, f.read())
-        trained = True
+            with open(weights, "rb") as f:
+                params = serialization.from_bytes(params, f.read())
+            trained = True
+            break
 
     codec = PointCloudCodec(model, params, strict_overflow=False)
     codec.update()

@@ -121,11 +121,13 @@ class ConvChain(nn.Module):
                 feats = nn.relu(feats)
         return st.with_feats(feats)
 
-    def grid(self, feats: jax.Array, nbr_rows: jax.Array, mask: jax.Array) -> jax.Array:
+    def grid(self, feats: jax.Array, nbr_rows: jax.Array, mask: jax.Array,
+             live: Optional[jax.Array] = None) -> jax.Array:
         from ..ops import tiles as TL
 
         for k_, b_, r in zip(self.kernels, self.biases, self.relus):
-            feats = TL.dense_conv(feats, nbr_rows, k_, b_, mask=mask, relu=r)
+            feats = TL.dense_conv(feats, nbr_rows, k_, b_, mask=mask, relu=r,
+                                  live=live)
         return feats
 
 
@@ -153,10 +155,11 @@ class ScaledBlock(nn.Module):
         return x.with_feats(x.feats + residual)
 
     def grid(self, feats: jax.Array, nbr_rows: jax.Array, mask: jax.Array,
-             beta_gamma: jax.Array) -> jax.Array:
+             beta_gamma: jax.Array,
+             live: Optional[jax.Array] = None) -> jax.Array:
         cells = mask.shape[-1]
         residual = feats
-        x = self.conv1.grid(feats, nbr_rows, mask)
+        x = self.conv1.grid(feats, nbr_rows, mask, live=live)
         B, Nt, _ = x.shape
         c = self.channels
         xs = x.reshape(B, Nt, cells, c)
@@ -166,7 +169,8 @@ class ScaledBlock(nn.Module):
         beta, gamma = jnp.split(bg, 2, axis=-1)
         m = mask[..., None].astype(xs.dtype)
         xs = (xs * beta + gamma) * m  # re-mask: gamma adds at empty cells
-        x = self.conv2.grid(xs.reshape(B, Nt, cells * c), nbr_rows, mask)
+        x = self.conv2.grid(xs.reshape(B, Nt, cells * c), nbr_rows, mask,
+                            live=live)
         return x + residual
 
 
@@ -289,11 +293,13 @@ class GenerativeUp(nn.Module):
 
         def conv(f, kern_bias, relu=False):
             kern, bias = kern_bias
-            return TL.dense_conv(f, nbr, kern, bias, mask=cell_mask, relu=relu)
+            return TL.dense_conv(f, nbr, kern, bias, mask=cell_mask, relu=relu,
+                                 live=grid.count)
 
         kt, bt = p["transpose"]
         x = TL.transpose_dense_conv(
-            emb_x.astype(jnp.bfloat16), nbr, kt, bt, mask=cell_mask
+            emb_x.astype(jnp.bfloat16), nbr, kt, bt, mask=cell_mask,
+            live=grid.count,
         )
         h = conv(x, p["conv1"], relu=True)
         x = conv(h, p["conv2"])
@@ -312,7 +318,8 @@ class GenerativeUp(nn.Module):
         if q is not None:
             kq, bq = p["q_up"]
             q_child = TL.transpose_dense_conv(emb_q, nbr, kq, bq, mask=cell_mask,
-                                              compute_dtype=jnp.float32)
+                                              compute_dtype=jnp.float32,
+                                              live=grid.count)
             both = jnp.concatenate(
                 [x.reshape(B, Nt, TL.CELLS, co),
                  q_child.reshape(B, Nt, TL.CELLS, 2).astype(x.dtype)],
@@ -375,15 +382,15 @@ class PredictHead(nn.Module):
         h = h.with_feats(nn.relu(self.dense(h.feats)))
         return self.conv_b(h, nbr).feats
 
-    def grid(self, feats: jax.Array, nbr_rows: jax.Array,
-             mask: jax.Array) -> jax.Array:
+    def grid(self, feats: jax.Array, nbr_rows: jax.Array, mask: jax.Array,
+             live: Optional[jax.Array] = None) -> jax.Array:
         cells = mask.shape[-1]
-        h = self.conv_a.grid(feats, nbr_rows, mask)
+        h = self.conv_a.grid(feats, nbr_rows, mask, live=live)
         B, Nt, FC = h.shape
         h = nn.relu(self.dense(h.reshape(B, Nt, cells, self.n)))
         m = mask[..., None].astype(h.dtype)
         h = (h * m).reshape(B, Nt, cells * self.n)
-        return self.conv_b.grid(h, nbr_rows, mask)
+        return self.conv_b.grid(h, nbr_rows, mask, live=live)
 
 
 class ConditionEncoder(nn.Module):
@@ -452,5 +459,6 @@ class QPredict(nn.Module):
     def __call__(self, q: SparseTensor, nbr: jax.Array) -> jax.Array:
         return self.chain(q, nbr).feats
 
-    def grid(self, qfeats: jax.Array, nbr_rows: jax.Array, mask: jax.Array) -> jax.Array:
-        return self.chain.grid(qfeats, nbr_rows, mask)
+    def grid(self, qfeats: jax.Array, nbr_rows: jax.Array, mask: jax.Array,
+             live: Optional[jax.Array] = None) -> jax.Array:
+        return self.chain.grid(qfeats, nbr_rows, mask, live=live)

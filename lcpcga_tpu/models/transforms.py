@@ -328,9 +328,9 @@ class AnalysisTransform(nn.Module):
         mask1 = grid1.mask & grid1.valid[:, :, None]
         fx, fq = self._split_ch(f1, cin, cin + 2)
         if self.source_condition:
-            fq = fq + self.q_plus.grid(fx, nbr1, mask1)
-        c = self.cond.pre.grid(fq, nbr1, mask1)       # cond features (2ch)
-        h = self.pre.grid(fx, nbr1, mask1)            # n1
+            fq = fq + self.q_plus.grid(fx, nbr1, mask1, live=grid1.count)
+        c = self.cond.pre.grid(fq, nbr1, mask1, live=grid1.count)  # cond (2ch)
+        h = self.pre.grid(fx, nbr1, mask1, live=grid1.count)       # n1
         overflow = (grid1.count >= cap1) | (
             x.count >= x.capacity
         )
@@ -368,14 +368,16 @@ class AnalysisTransform(nn.Module):
         fused = fused.at[:, prev:, nxt:].set(wc)
         fused_bias = jnp.concatenate([downs_f[i].bias, self.cond.downs[i].bias])
         w8 = TL.pack_stride2_kernel(fused)
-        hc = TL.dense_conv2(packed, nbr, w8, fused_bias, mask=mask)
+        hc = TL.dense_conv2(packed, nbr, w8, fused_bias, mask=mask,
+                            live=packed_grid.count)
         # Channel split at the (8x smaller) output level.
         h, c = self._split_ch(hc, nxt, nxt + cfn)
         if self.condition_ablation:
             bg = c
         else:
-            bg = self.cond.predicts[i].grid(c, nbr, mask)
-        h = sbs[i].grid(h, nbr, mask, bg)
+            bg = self.cond.predicts[i].grid(c, nbr, mask,
+                                            live=packed_grid.count)
+        h = sbs[i].grid(h, nbr, mask, bg, live=packed_grid.count)
         count = jnp.sum(mask.astype(jnp.int32), axis=(1, 2))
         ov = packed_grid.count >= tile_caps[i]
         return packed_grid, self._merge_ch(h, c, nxt), count, ov
@@ -388,7 +390,7 @@ class AnalysisTransform(nn.Module):
         nbr = TL.neighbor_rows(grid.keys, TL.grid_span(grid))
         mask = grid.mask & grid.valid[:, :, None]
         h, c = self._split_ch(feats, self.n3, self.n3 + self.cond.n_features[3])
-        y_feats = self.post.grid(h, nbr, mask)
+        y_feats = self.post.grid(h, nbr, mask, live=grid.count)
         y = TL.extract_sparse(grid, y_feats, mask, self.caps.cap(8))
         q_latent = TL.extract_sparse(grid, c, mask, self.caps.cap(8))
         # Same grid + mask + canonical extraction order: row-aligned.
@@ -482,19 +484,20 @@ class SparseSynthesisTransform(nn.Module):
         mask = grid.mask & grid.valid[:, :, None]
         pos = TL.row_positions(grid, x)
 
-        bg_grid = qp.chain.grid(qg.astype(jnp.bfloat16), nbr_rows, mask)
+        bg_grid = qp.chain.grid(qg.astype(jnp.bfloat16), nbr_rows, mask,
+                                live=grid.count)
         xg = TL.scatter_feats(grid, x, dtype=jnp.bfloat16, positions=pos)
         residual = x.feats
         B, Nt, _ = xg.shape
         cells = mask.shape[-1]
         c = sb.channels
-        x1g = sb.conv1.grid(xg, nbr_rows, mask)
+        x1g = sb.conv1.grid(xg, nbr_rows, mask, live=grid.count)
         bgc = bg_grid.reshape(B, Nt, cells, -1)
         beta, gamma = jnp.split(bgc, 2, axis=-1)
         x1c = x1g.reshape(B, Nt, cells, c)
         m = mask[..., None].astype(x1c.dtype)
         filmed = ((x1c * beta + gamma) * m).reshape(B, Nt, cells * c)
-        x2g = sb.conv2.grid(filmed, nbr_rows, mask)
+        x2g = sb.conv2.grid(filmed, nbr_rows, mask, live=grid.count)
         x2 = TL.gather_rows(grid, x2g, pos, out_dtype=jnp.float32)
         # Same coordinate set in canonical order -> rows align with x.
         return x.with_feats(x2 + residual), grid.count >= tile_cap
@@ -543,7 +546,8 @@ class SparseSynthesisTransform(nn.Module):
             grid, feats = TL.rasterize(x, tile1, tile=self.caps.stack_tile)
             nbr_rows = TL.neighbor_rows(grid.keys, TL.grid_span(grid))
             mask = grid.mask & grid.valid[:, :, None]
-            out = self.post.grid(feats.astype(jnp.bfloat16), nbr_rows, mask)
+            out = self.post.grid(feats.astype(jnp.bfloat16), nbr_rows, mask,
+                                 live=grid.count)
             # Coordinate set preserved -> row extraction is one gather.
             pos = TL.row_positions(grid, x)
             ext = TL.gather_rows(grid, out, pos, out_dtype=jnp.float32)

@@ -5,11 +5,12 @@ TPU-native replacement for MinkowskiEngine's CoordinateManager
 /root/reference/model/*.py). Instead of a GPU hash map we keep every
 coordinate set in a *canonically sorted, fixed-capacity* buffer:
 
-  * coordinates are packed into a single int32 key
-    ``(x << 20) | (y << 10) | z`` — injective for voxel grids up to
-    2**10 = 1024 per axis (vox10, the reference's data regime,
-    /root/reference/utils.py:155-204 uses the same trick with float
-    weights ``[1e15, 1e10, 1e5, 1]``);
+  * coordinates are packed into a single int32 MORTON (z-order) key —
+    the 10 bits of x, y, z bit-interleaved (x most significant) —
+    injective for voxel grids up to 2**10 = 1024 per axis (vox10, the
+    reference's data regime; /root/reference/utils.py:155-204 re-sorts
+    with float weights ``[1e15, 1e10, 1e5, 1]`` — any injective total
+    order works, both sides just have to agree);
   * rows are always sorted ascending by key with padding rows at the
     end (``INVALID_KEY = int32 max``);
   * membership / gather ops are ``searchsorted`` on the key array.
@@ -18,6 +19,14 @@ Sorted order doubles as the entropy-coding symbol order, so the
 encoder/decoder enumeration contract of the reference
 (/root/reference/model/entropy_models.py:12-102, ``sort_tensor``)
 is an invariant here instead of a bolted-on wrapper.
+
+Morton rather than concatenated (x<<20|y<<10|z) fields because the
+order is then HIERARCHICAL: sorted keys stay sorted under coordinate
+//2 (parent key = child key >> 3), and a (sorted-tiles, sorted-cells-
+within-tile) enumeration of a tile grid is globally sorted — which
+lets ops/tiles.extract_sparse compact dense tile volumes to canonical
+rows with a cumsum instead of a full argsort (the measured decode
+hotspot the x-major key forced).
 
 All functions in this module operate on a single batch item; batch
 processing happens via ``jax.vmap`` one level up (ops/sparse.py).
@@ -36,18 +45,44 @@ COORD_RANGE = 1 << COORD_BITS  # 1024
 INVALID_KEY = jnp.iinfo(jnp.int32).max
 
 
+def _part1by2(v: jax.Array) -> jax.Array:
+    """Spread the low 10 bits of v so bit i lands at bit 3i."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def _compact1by2(v: jax.Array) -> jax.Array:
+    """Inverse of :func:`_part1by2` (gather every 3rd bit)."""
+    v = v & 0x09249249
+    v = (v | (v >> 2)) & 0x030C30C3
+    v = (v | (v >> 4)) & 0x0300F00F
+    v = (v | (v >> 8)) & 0x030000FF
+    v = (v | (v >> 16)) & 0x3FF
+    return v
+
+
 def pack(coords: jax.Array) -> jax.Array:
-    """Pack [N, 3] int32 coords in [0, 1024)^3 into scalar int32 keys."""
+    """Pack [..., 3] int32 coords in [0, 1024)^3 into int32 Morton keys
+    (bit-interleaved, x most significant). Keys fit in 30 bits, so every
+    valid key < INVALID_KEY."""
     c = coords.astype(jnp.int32)
-    return (c[..., 0] << (2 * COORD_BITS)) | (c[..., 1] << COORD_BITS) | c[..., 2]
+    return (
+        (_part1by2(c[..., 0]) << 2)
+        | (_part1by2(c[..., 1]) << 1)
+        | _part1by2(c[..., 2])
+    )
 
 
 def unpack(keys: jax.Array) -> jax.Array:
-    """Inverse of :func:`pack`; invalid keys unpack to out-of-range coords."""
-    mask = COORD_RANGE - 1
-    x = (keys >> (2 * COORD_BITS)) & mask
-    y = (keys >> COORD_BITS) & mask
-    z = keys & mask
+    """Inverse of :func:`pack` (valid keys only; INVALID_KEY unpacks to
+    (1023, 1023, 1023) — callers must mask by validity)."""
+    x = _compact1by2(keys >> 2)
+    y = _compact1by2(keys >> 1)
+    z = _compact1by2(keys)
     return jnp.stack([x, y, z], axis=-1).astype(jnp.int32)
 
 
@@ -113,6 +148,18 @@ def compact_keys(keys: jax.Array, keep: jax.Array, capacity: int):
     src = src.at[dest].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
     count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
     return keys_out, src, count
+
+
+def downsample_keys(keys: jax.Array, stride_out: int) -> jax.Array:
+    """Packed keys of the ``stride_out``-downsampled coordinates.
+
+    Under Morton keys, quantizing coords to a power-of-two stride is a
+    pure bit-mask of the key (clear the low 3*log2(stride_out) bits) —
+    a MONOTONE map, so sorted inputs stay sorted (no re-sort needed
+    after downsampling). INVALID_KEY rows stay INVALID."""
+    shift = 3 * (stride_out.bit_length() - 1)
+    down = (keys >> shift) << shift
+    return jnp.where(keys != INVALID_KEY, down, INVALID_KEY)
 
 
 def downsample_coords(coords: jax.Array, stride_out: int) -> jax.Array:

@@ -198,10 +198,8 @@ def downsample_map(st: SparseTensor, capacity: int, kernel_size: int = 3):
     s2 = st.stride * 2
 
     def per_item(keys):
-        coords = C.unpack(keys)
-        down = C.downsample_coords(coords, s2)
-        dkeys = C.pack_valid(down, keys != C.INVALID_KEY)
-        dkeys = jnp.sort(dkeys)
+        # Morton downsampling is a monotone bit-mask: already sorted.
+        dkeys = C.downsample_keys(keys, s2)
         keep = C.unique_mask_sorted(dkeys)
         out_keys, _, count = C.compact_keys(dkeys, keep, capacity)
         return out_keys, count
@@ -251,10 +249,8 @@ def downsample_coords_only(st: SparseTensor, capacity: int) -> SparseTensor:
     s2 = st.stride * 2
 
     def per_item(keys):
-        coords = C.unpack(keys)
-        down = C.downsample_coords(coords, s2)
-        dkeys = C.pack_valid(down, keys != C.INVALID_KEY)
-        dkeys = jnp.sort(dkeys)
+        # Morton downsampling is a monotone bit-mask: already sorted.
+        dkeys = C.downsample_keys(keys, s2)
         keep = C.unique_mask_sorted(dkeys)
         out_keys, _, count = C.compact_keys(dkeys, keep, capacity)
         return out_keys, count

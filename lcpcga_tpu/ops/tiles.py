@@ -157,8 +157,10 @@ def _flat_local(local: jax.Array, size: int = TILE) -> jax.Array:
 # bitonic sorts / O(log N) per-query searchsorted — the measured decode
 # bottlenecks on v5e (build_upsample_grid 2.6 s, candidate-grid
 # neighbor_rows 1.4 s; the dense convs they feed are 0.17-0.27 s).
-# Enumerating the volume in flat (x-major) order IS packed-key order,
-# so emitted key lists are canonically sorted by construction.
+# The flat volume index IS the Morton packed key of the tile coords
+# (spans are powers of two, so a tile's key < span^3), so emitted key
+# lists are canonically sorted by construction and rank lookups gather
+# straight at the key value.
 
 # Largest volume the scatter/cumsum path is worth: 256^3 = 16.7M cells.
 VOL_SPAN_MAX = 256
@@ -178,10 +180,11 @@ def _use_volume(span: int, n_rows: int) -> bool:
 
 
 def _flat_tile(tc: jax.Array, span: int, ok: jax.Array) -> jax.Array:
-    """[..., 3] tile coords -> flat volume index; invalid -> span^3
-    (the sentinel row of rank volumes / the drop row of scatters)."""
-    f = (tc[..., 0] * span + tc[..., 1]) * span + tc[..., 2]
-    return jnp.where(ok, f, span**3)
+    """[..., 3] tile coords -> flat volume index (= the Morton packed
+    key; span is a power of two so valid keys < span^3); invalid ->
+    span^3 (the sentinel row of rank volumes / the drop row of
+    scatters)."""
+    return jnp.where(ok, C.pack(tc), span**3)
 
 
 def _vol_keys(flat_idx: jax.Array, span: int, capacity: int):
@@ -196,11 +199,9 @@ def _vol_keys(flat_idx: jax.Array, span: int, capacity: int):
     ranks = jnp.cumsum(vol.astype(jnp.int32)) - 1
     count = jnp.minimum(ranks[-1] + 1, capacity)
     dest = jnp.where(vol & (ranks < capacity), ranks, capacity)
-    f = jnp.arange(span**3, dtype=jnp.int32)
-    tx = f // (span * span)
-    ty = (f // span) % span
-    tz = f % span
-    pk = (tx << (2 * C.COORD_BITS)) | (ty << C.COORD_BITS) | tz
+    # Flat volume index == Morton packed key, so the enumeration IS the
+    # key sequence (cumsum order == key order by construction).
+    pk = jnp.arange(span**3, dtype=jnp.int32)
     keys = jnp.full((capacity,), C.INVALID_KEY, jnp.int32)
     keys = keys.at[dest].set(pk, mode="drop")
     rank_vol = jnp.concatenate([
@@ -214,11 +215,10 @@ def _ranks_from_keys(keys: jax.Array, span: int, miss: int) -> jax.Array:
     """[span^3 + 1] int32 rank volume from a grid's sorted keys (one
     item): flat tile index -> row, ``miss`` where unoccupied. One
     scatter — no cumsum (rows already enumerate the sorted keys)."""
-    tc = C.unpack(keys)
     ok = keys != C.INVALID_KEY
-    # Invalid rows go OOB (dropped) — span^3 is the live miss sentinel.
-    f = (tc[..., 0] * span + tc[..., 1]) * span + tc[..., 2]
-    flat = jnp.where(ok, f, span**3 + 1)
+    # Valid tile keys ARE flat volume indices (Morton, < span^3);
+    # invalid rows go OOB (dropped) — span^3 is the live miss sentinel.
+    flat = jnp.where(ok, keys, span**3 + 1)
     n = keys.shape[0]
     vol = jnp.full((span**3 + 1,), miss, jnp.int32)
     return vol.at[flat].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
@@ -681,6 +681,32 @@ def _use_pallas(cin: int, cout: int) -> bool:
     return cin >= 16 and cout >= 16
 
 
+def _chunk_runner(do_chunk, n_chunks: int, chunk: int, out_cells: int,
+                  dtype, B: int, live: Optional[jax.Array]):
+    """Run ``do_chunk`` over all chunks, skipping chunks past the live
+    tile count.
+
+    Grids store valid tiles FIRST, and padding-tile outputs are
+    mask-zeroed, so any chunk whose tiles all lie past max(live) can
+    return zeros without running the halo gathers / matmuls — capacity
+    profiles carry 1.1-1.6x margin, which is pure padding FLOPs
+    otherwise. ``lax.cond`` (not a dynamic-trip while_loop) keeps the
+    op reverse-differentiable for the training step."""
+    ck = jax.checkpoint(do_chunk)
+    if live is None:
+        chunks = jax.lax.map(ck, jnp.arange(n_chunks))
+    else:
+        n_live = (jnp.max(live) + chunk - 1) // chunk
+
+        def body(ci):
+            return jax.lax.cond(
+                ci < n_live, ck,
+                lambda _: jnp.zeros((B, chunk, out_cells), dtype), ci)
+
+        chunks = jax.lax.map(body, jnp.arange(n_chunks))
+    return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, out_cells)
+
+
 def transpose_dense_conv(
     pfeats: jax.Array,
     nbr_rows: jax.Array,
@@ -688,6 +714,7 @@ def transpose_dense_conv(
     bias: Optional[jax.Array],
     compute_dtype=jnp.bfloat16,
     mask: Optional[jax.Array] = None,
+    live: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Generative transposed conv: parent-resolution grid -> child grid.
 
@@ -779,8 +806,8 @@ def transpose_dense_conv(
             out = out * m.astype(out.dtype)[..., None]
         return out.astype(pfeats.dtype).reshape(B, chunk, ccells * Cout)
 
-    chunks = jax.lax.map(jax.checkpoint(do_chunk), jnp.arange(n_chunks))
-    return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, ccells * Cout)[:, :Nt]
+    return _chunk_runner(do_chunk, n_chunks, chunk, ccells * Cout,
+                         pfeats.dtype, B, live)[:, :Nt]
 
 
 def dense_conv(
@@ -792,6 +819,7 @@ def dense_conv(
     compute_dtype=jnp.bfloat16,
     mask: Optional[jax.Array] = None,
     relu: bool = False,
+    live: Optional[jax.Array] = None,
 ) -> jax.Array:
     """3^3 dense conv across tiles with halo exchange.
 
@@ -853,8 +881,8 @@ def dense_conv(
             out = jnp.maximum(out, 0)
         return out.astype(feats.dtype).reshape(B, chunk, cells * Cout)
 
-    chunks = jax.lax.map(jax.checkpoint(do_chunk), jnp.arange(n_chunks))
-    return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, cells * Cout)[:, :Nt]
+    return _chunk_runner(do_chunk, n_chunks, chunk, cells * Cout,
+                         feats.dtype, B, live)[:, :Nt]
 
 
 def downsample_pack(
@@ -1069,6 +1097,7 @@ def dense_conv2(
     compute_dtype=jnp.bfloat16,
     mask: Optional[jax.Array] = None,
     relu: bool = False,
+    live: Optional[jax.Array] = None,
 ) -> jax.Array:
     """2^3-support conv across tiles (offsets {-1,0}^3): the packed form
     of a 3^3/stride-2 sparse conv (see pack_stride2_kernel).
@@ -1162,8 +1191,8 @@ def dense_conv2(
             out = jnp.maximum(out, 0)
         return out.astype(feats.dtype).reshape(B, chunk, cells * Cout)
 
-    chunks = jax.lax.map(jax.checkpoint(do_chunk), jnp.arange(n_chunks))
-    return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, cells * Cout)[:, :Nt]
+    return _chunk_runner(do_chunk, n_chunks, chunk, cells * Cout,
+                         feats.dtype, B, live)[:, :Nt]
 
 
 def apply_mask(grid: TileGrid, feats: jax.Array) -> jax.Array:
@@ -1180,6 +1209,31 @@ def apply_mask(grid: TileGrid, feats: jax.Array) -> jax.Array:
     return (f * m).reshape(B, Nt, FC)
 
 
+@_functools.lru_cache(maxsize=None)
+def _morton_cell_order(size: int):
+    """Static cell enumeration tables for ``size``^3 tiles.
+
+    Returns (local [size^3, 3] cell coords in MORTON order, perm
+    [size^3] the x-major storage index of each Morton slot) as numpy
+    arrays (trace-time constants)."""
+    import numpy as np
+
+    locs = [(x, y, z) for x in range(size) for y in range(size)
+            for z in range(size)]
+
+    def code(l):
+        c = 0
+        for b in range(10):
+            c |= (((l[0] >> b) & 1) << (3 * b + 2))
+            c |= (((l[1] >> b) & 1) << (3 * b + 1))
+            c |= (((l[2] >> b) & 1) << (3 * b))
+        return c
+
+    order = sorted(range(len(locs)), key=lambda i: code(locs[i]))
+    local = np.asarray([locs[i] for i in order], np.int32)
+    return local, np.asarray(order, np.int32)
+
+
 def extract_sparse(
     grid: TileGrid,
     feats: jax.Array,
@@ -1189,9 +1243,14 @@ def extract_sparse(
 ) -> SparseTensor:
     """Compact kept cells into a canonical (key-sorted) SparseTensor.
 
-    feats [B, Nt, T^3 * C]; keep_mask [B, Nt, T^3]. Two stages:
-    cumsum-compact in dense order into ``capacity`` rows, then one sort
-    of the compacted rows (tile-major order is not global key order).
+    feats [B, Nt, T^3 * C]; keep_mask [B, Nt, T^3]. Cells are enumerated
+    tile-major with MORTON cell order inside each tile — under Morton
+    packed keys that enumeration IS ascending global key order (tile
+    key << 3*log2(T) | cell code, and the stride multiplier is a
+    further uniform shift), so one cumsum compaction lands rows in
+    canonical order with NO sort. Replaces the per-level argsort over
+    up to ~1M compacted rows that the x-major key layout required (the
+    measured decode hotspot; STATUS r3 perf model).
     """
     B, Nt = grid.keys.shape
     tile = grid.tile
@@ -1199,25 +1258,31 @@ def extract_sparse(
     Cdim = feats.shape[-1] // cells
     t = grid.stride
 
+    local_np, perm_np = _morton_cell_order(tile)
+    local = jnp.asarray(local_np)
+    perm = jnp.asarray(perm_np)
+
     tile_coords = C.unpack(grid.keys)
-    lx = jnp.arange(tile, dtype=jnp.int32)
-    local = jnp.stack(jnp.meshgrid(lx, lx, lx, indexing="ij"), axis=-1).reshape(cells, 3)
     cell = tile_coords[:, :, None, :] * tile + local[None, None]  # [B,Nt,cells,3]
     keys = C.pack(jnp.clip(cell * t, 0, C.COORD_RANGE - 1))
-    keys = jnp.where(keep_mask & grid.valid[:, :, None], keys, C.INVALID_KEY)
+    keep = jnp.take(keep_mask, perm, axis=-1) & grid.valid[:, :, None]
+    keys = jnp.where(keep, keys, C.INVALID_KEY)
+    # Storage is x-major; re-index the cell axis into Morton order.
+    feats_m = jnp.take(
+        feats.reshape(B, Nt, cells, Cdim), perm, axis=2
+    )
 
     flat_keys = keys.reshape(B, -1)
-    flat_feats = feats.reshape(B, -1, Cdim)
+    flat_feats = feats_m.reshape(B, -1, Cdim)
 
     def per_item(k_i, f_i):
-        keep = k_i != C.INVALID_KEY
-        dest = jnp.cumsum(keep.astype(jnp.int32)) - 1
-        dest = jnp.where(keep, dest, capacity)
+        kp = k_i != C.INVALID_KEY
+        dest = jnp.cumsum(kp.astype(jnp.int32)) - 1
+        dest = jnp.where(kp, dest, capacity)
         out_k = jnp.full((capacity,), C.INVALID_KEY, jnp.int32).at[dest].set(k_i, mode="drop")
         out_f = jnp.zeros((capacity, Cdim), f_i.dtype).at[dest].set(f_i, mode="drop")
-        count = jnp.minimum(jnp.sum(keep.astype(jnp.int32)), capacity)
-        order = jnp.argsort(out_k)
-        return out_k[order], out_f[order], count
+        count = jnp.minimum(jnp.sum(kp.astype(jnp.int32)), capacity)
+        return out_k, out_f, count
 
     out_keys, out_feats, count = jax.vmap(per_item)(flat_keys, flat_feats)
     return SparseTensor(

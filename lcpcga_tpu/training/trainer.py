@@ -148,8 +148,16 @@ class Training:
 
     def export_weights(self):
         path = os.path.join(self.results_dir, "weights.msgpack")
+        blob = serialization.to_bytes(self.state.params)
         with open(path, "wb") as f:
-            f.write(serialization.to_bytes(self.state.params))
+            f.write(blob)
+        # Durable mirror (results/ is scratch space — gitignored); the
+        # mirror path survives environment recycles.
+        mirror = self.config.get("weights_mirror")
+        if mirror:
+            os.makedirs(os.path.dirname(mirror) or ".", exist_ok=True)
+            with open(mirror, "wb") as f:
+                f.write(blob)
         return path
 
     # -- loops --
@@ -227,6 +235,9 @@ class Training:
         for epoch in range(self.start_epoch, self.epochs):
             history.append(self.train_epoch(epoch))
             self.save_checkpoint(epoch)
+            # Per-epoch weight export: a crash/kill mid-run still leaves
+            # the latest usable weights behind (plus the mirror copy).
+            self.export_weights()
             if (epoch + 1) % val_every == 0:
                 if val_fn is not None:
                     val_fn(self.model, self.state.params, epoch)

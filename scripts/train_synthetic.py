@@ -28,6 +28,10 @@ def main(epochs=40, num_frames=10):
     config["experiment_name"] = "synthetic_flagship"
     config["epochs"] = epochs
     config["validate"] = True
+    # Git-tracked weight mirror: results/ is gitignored scratch and the
+    # round-2 trained weights were lost to an environment recycle.
+    config["weights_mirror"] = os.path.join(
+        os.path.dirname(__file__), os.pardir, "trained", "weights.msgpack")
     # 16GB v5e HBM budget: the fused fwd+bwd step at batch 8 x 8192 rows
     # needs ~40GB even with chunk rematerialization; 4 x 4096 fits
     # (median synthetic cube is ~2800 points).

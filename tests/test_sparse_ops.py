@@ -23,6 +23,14 @@ def make_cloud(rng, n, lim=64, c=3, stride=1):
     return pts.astype(np.int32), feats
 
 
+def canon_order(coords):
+    """Rows sorted by the canonical packed key (Morton order) — the
+    order SparseTensor rows appear in. np.unique's lexicographic order
+    differs."""
+    k = np.asarray(C.pack(jnp.asarray(coords.astype(np.int32))))
+    return coords[np.argsort(k)]
+
+
 def build_st(clouds, capacity, stride=1):
     """clouds: list of (coords, feats) -> batched SparseTensor."""
     B = len(clouds)
@@ -143,7 +151,7 @@ def test_downsample_map_and_conv():
     out_st, nbr = ops.downsample_map(st, capacity=128)
     n_out = int(out_st.count[0])
     got_coords = np.asarray(out_st.coords[0, :n_out])
-    expect_coords = np.unique((p // 2) * 2, axis=0)
+    expect_coords = canon_order(np.unique((p // 2) * 2, axis=0))
     np.testing.assert_array_equal(got_coords, expect_coords)
     assert out_st.stride == 2
 
@@ -169,7 +177,7 @@ def test_expand_coords_and_transpose_conv():
     offs = np.asarray(C.conv_offsets(3, 1))
     cand = (p[:, None, :] + offs[None]).reshape(-1, 3)
     cand = cand[np.all((cand >= 0) & (cand < 1024), axis=1)]
-    expect = np.unique(cand, axis=0)
+    expect = canon_order(np.unique(cand, axis=0))
     np.testing.assert_array_equal(got_coords, expect)
     assert up.stride == 1
 
