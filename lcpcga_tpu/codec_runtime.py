@@ -126,21 +126,38 @@ class PointCloudCodec:
 
         m = model
 
+        def fwd_jit(f):
+            """jit a codec program marked forward-only at trace time:
+            the tile convs then use the dynamic-trip while_loop chunk
+            runner (true dead-chunk skipping, no lax.cond buffers).
+            Codec programs are never differentiated — training goes
+            through model.apply/__call__, not these stage methods."""
+            import functools
+
+            from .ops import tiles as _TL
+
+            @functools.wraps(f)
+            def traced(*args, **kwargs):
+                with _TL.forward_only():
+                    return f(*args, **kwargs)
+
+            return jax.jit(traced)
+
         if model.caps.tile_fraction > 0 and model.caps.analysis_tiles:
             # Tiled analysis as per-level jitted programs (HBM bounding,
             # mirroring the staged synthesis below).
-            @jax.jit
+            @fwd_jit
             def ga0_fn(params, x, q):
                 return m.apply(params, x, q, method=_CM.analysis_stage0)
 
             ga_level_fns = [
-                jax.jit(lambda params, grid, feats, _meth=meth:
+                fwd_jit(lambda params, grid, feats, _meth=meth:
                         m.apply(params, grid, feats, method=_meth))
                 for meth in (_CM.analysis_level0, _CM.analysis_level1,
                              _CM.analysis_level2)
             ]
 
-            @jax.jit
+            @fwd_jit
             def ga_fin_fn(params, grid, feats):
                 return m.apply(params, grid, feats, method=_CM.analysis_finish)
 
@@ -156,24 +173,24 @@ class PointCloudCodec:
                 k = jnp.stack([counts[1], counts[0], x.count], axis=1)
                 return y, q_latent, k, ov | ovf
         else:
-            @jax.jit
+            @fwd_jit
             def analysis_fn(params, x, q):
                 return m.apply(params, x, q, method=_CM.analysis)
 
-        @jax.jit
+        @fwd_jit
         def encode_z_fn(params, y):
             return m.apply(params, y, method=_CM.entropy_encode_z)
 
-        @jax.jit
+        @fwd_jit
         def decode_params_fn(params, y_coords, z_hat_feats):
             return m.apply(params, y_coords, z_hat_feats, method=_CM.entropy_decode_params)
 
         if model.separate_q_model:
-            @jax.jit
+            @fwd_jit
             def encode_qz_fn(params, q_latent):
                 return m.apply(params, q_latent, method=_CM.entropy_encode_qz)
 
-            @jax.jit
+            @fwd_jit
             def decode_params_q_fn(params, q_coords, qz_feats):
                 return m.apply(params, q_coords, qz_feats,
                                method=_CM.entropy_decode_params_q)
@@ -184,19 +201,19 @@ class PointCloudCodec:
         # Synthesis as four separate jitted stage programs: the combined
         # vox10 synthesis program OOMs HBM; staged execution caps the
         # per-program peak at one level's buffers.
-        @jax.jit
+        @fwd_jit
         def synth_a_fn(params, y_hat, q_hat, k):
             return m.apply(params, y_hat, q_hat, k, method=_CM.synthesis_stage_a)
 
-        @jax.jit
+        @fwd_jit
         def synth_b_fn(params, x, qf, k):
             return m.apply(params, x, qf, k, method=_CM.synthesis_stage_b)
 
-        @jax.jit
+        @fwd_jit
         def synth_c_fn(params, x, qf, k):
             return m.apply(params, x, qf, k, method=_CM.synthesis_stage_c)
 
-        @jax.jit
+        @fwd_jit
         def synth_d_fn(params, x):
             x_hat, ov = m.apply(params, x, method=_CM.synthesis_stage_d)
             colors = jnp.clip(jnp.round(x_hat.feats * 255.0), 0.0, 255.0) / 255.0

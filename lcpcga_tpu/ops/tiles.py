@@ -50,7 +50,11 @@ CELLS = TILE**3
 # sequential lax.map: too small and the loop can't pipeline HBM against
 # the MXU (vox10 candidate grids hit 180+ iterations at a fixed 2048);
 # too big and the (size+2)^3 * Cin halo transient crowds 16GB HBM.
-CONV_CHUNK_BYTES = 192 << 20
+# 192MB compiled at vox10 until the live-chunk lax.cond wrapper added
+# one more chunk-sized buffer to synth_c's plan (OOM by 191.6MB of
+# 15.75G, measured 2026-08-19); 128MB clears it with chunks still ~2.4x
+# the pipelining floor.
+CONV_CHUNK_BYTES = 128 << 20
 CONV_TILE_CHUNK = 2048  # floor
 
 
@@ -681,6 +685,27 @@ def _use_pallas(cin: int, cout: int) -> bool:
     return cin >= 16 and cout >= 16
 
 
+# Trace-time flag: decode-only programs (codec_runtime's synthesis /
+# analysis stage jits) activate this to get the dynamic-trip while_loop
+# chunk runner — forward-only (while_loop is not reverse-differentiable)
+# but with NO lax.cond branch buffer and true skipping of dead chunks.
+# Training traces (value_and_grad) leave it off and get the
+# reverse-differentiable lax.cond form.
+_FORWARD_ONLY = [False]
+
+
+class forward_only:
+    """Context manager marking traces as never-differentiated."""
+
+    def __enter__(self):
+        self._prev = _FORWARD_ONLY[0]
+        _FORWARD_ONLY[0] = True
+
+    def __exit__(self, *exc):
+        _FORWARD_ONLY[0] = self._prev
+        return False
+
+
 def _chunk_runner(do_chunk, n_chunks: int, chunk: int, out_cells: int,
                   dtype, B: int, live: Optional[jax.Array]):
     """Run ``do_chunk`` over all chunks, skipping chunks past the live
@@ -690,20 +715,36 @@ def _chunk_runner(do_chunk, n_chunks: int, chunk: int, out_cells: int,
     mask-zeroed, so any chunk whose tiles all lie past max(live) can
     return zeros without running the halo gathers / matmuls — capacity
     profiles carry 1.1-1.6x margin, which is pure padding FLOPs
-    otherwise. ``lax.cond`` (not a dynamic-trip while_loop) keeps the
-    op reverse-differentiable for the training step."""
+    otherwise. Inside :class:`forward_only` traces the skip is a
+    dynamic-trip ``while_loop`` writing into one preallocated output
+    (no extra buffers); elsewhere ``lax.cond`` keeps the op
+    reverse-differentiable for the training step."""
     ck = jax.checkpoint(do_chunk)
     if live is None:
         chunks = jax.lax.map(ck, jnp.arange(n_chunks))
-    else:
-        n_live = (jnp.max(live) + chunk - 1) // chunk
+        return jnp.moveaxis(chunks, 0, 1).reshape(
+            B, n_chunks * chunk, out_cells)
+    n_live = jnp.minimum((jnp.max(live) + chunk - 1) // chunk, n_chunks)
+    if _FORWARD_ONLY[0]:
+        out0 = jnp.zeros((B, n_chunks * chunk, out_cells), dtype)
 
-        def body(ci):
-            return jax.lax.cond(
-                ci < n_live, ck,
-                lambda _: jnp.zeros((B, chunk, out_cells), dtype), ci)
+        def body(carry):
+            ci, out = carry
+            res = do_chunk(ci).astype(dtype)
+            out = jax.lax.dynamic_update_slice(out, res, (0, ci * chunk, 0))
+            return ci + 1, out
 
-        chunks = jax.lax.map(body, jnp.arange(n_chunks))
+        _, out = jax.lax.while_loop(
+            lambda c: c[0] < n_live, body,
+            (jnp.int32(0), out0))
+        return out
+
+    def body(ci):
+        return jax.lax.cond(
+            ci < n_live, ck,
+            lambda _: jnp.zeros((B, chunk, out_cells), dtype), ci)
+
+    chunks = jax.lax.map(body, jnp.arange(n_chunks))
     return jnp.moveaxis(chunks, 0, 1).reshape(B, n_chunks * chunk, out_cells)
 
 

@@ -216,3 +216,29 @@ def test_synthesis_tiled_matches_sparse():
     ft = np.asarray(out_t.feats[0, :n])[ti]
     err = np.abs(fs - ft)
     assert np.median(err) < 0.05, np.median(err)
+
+
+def test_forward_only_chunk_runner_matches_cond_path():
+    """The dynamic-trip while_loop chunk runner (forward_only traces, used
+    by codec_runtime's stage jits) must be bit-identical to the
+    reverse-differentiable lax.cond runner on live-masked chunks."""
+    rng = np.random.default_rng(5)
+    p, f = make_cloud(rng, 70, lim=64, c=6, stride=2)
+    st = build_st([(p, f)], capacity=128, stride=2)
+    grid, _ = TL.build_upsample_grid(st, tile_capacity=1024)
+    nbr = TL.neighbor_rows(grid.keys)
+    feats = jnp.asarray(
+        rng.standard_normal((1, grid.keys.shape[1], TL.CELLS * 6)), jnp.float32)
+    W = jnp.asarray(rng.standard_normal((27, 6, 5)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.standard_normal(5).astype(np.float32))
+    live = jnp.sum(grid.valid, axis=1).astype(jnp.int32)
+
+    ref = jax.jit(lambda x: TL.dense_conv(
+        x, nbr, W, b, compute_dtype=jnp.float32, live=live))(feats)
+
+    def fwd(x):
+        with TL.forward_only():
+            return jax.jit(lambda y: TL.dense_conv(
+                y, nbr, W, b, compute_dtype=jnp.float32, live=live))(x)
+
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fwd(feats)))
