@@ -124,10 +124,15 @@ class Training:
     def _ckpt_path(self, epoch: int) -> str:
         return os.path.join(self.results_dir, f"ckpt_{epoch:03d}.msgpack")
 
-    def save_checkpoint(self, epoch: int):
+    def save_checkpoint(self, epoch: int, keep: int = 2):
         blob = serialization.to_bytes({"state": self.state, "epoch": epoch})
         with open(self._ckpt_path(epoch), "wb") as f:
             f.write(blob)
+        # Full train-state blobs are ~3x the weights; keep a short tail
+        # so long runs don't exhaust scratch disk.
+        ckpts = sorted(glob.glob(os.path.join(self.results_dir, "ckpt_*.msgpack")))
+        for stale in ckpts[:-keep]:
+            os.remove(stale)
 
     def load_checkpoint(self, path: str) -> int:
         with open(path, "rb") as f:
@@ -140,6 +145,16 @@ class Training:
     def check_resume(self) -> int:
         ckpts = sorted(glob.glob(os.path.join(self.results_dir, "ckpt_*.msgpack")))
         if not ckpts:
+            # Warm-start from the durable weights mirror (results/ is
+            # scratch and dies with the environment; trained/ is
+            # git-tracked). Optimizer state starts fresh — matches the
+            # reference's load_state_dict-only resume of a weights file.
+            mirror = self.config.get("weights_mirror")
+            if mirror and os.path.exists(mirror):
+                with open(mirror, "rb") as f:
+                    params = serialization.from_bytes(self.state.params, f.read())
+                self.state = self.state.replace(params=params)
+                print(f"warm-started params from {mirror}")
             return 0
         latest = ckpts[-1]
         epoch = self.load_checkpoint(latest)
