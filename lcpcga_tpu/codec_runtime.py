@@ -202,7 +202,14 @@ class PointCloudCodec:
 
         @fwd_jit
         def decode_params_fn(params, y_coords, z_hat_feats):
-            return m.apply(params, y_coords, z_hat_feats, method=_CM.entropy_decode_params)
+            # indexes come back uint8 (scale-table ids < 256): the
+            # decoder fetches them straight into the rANS contexts —
+            # one dispatch + tunnel round trip fewer than a separate
+            # cast program, and a 4x smaller wire than int32.
+            scales, means, indexes, q_hat = m.apply(
+                params, y_coords, z_hat_feats,
+                method=_CM.entropy_decode_params)
+            return scales, means, indexes.astype(jnp.uint8), q_hat
 
         if model.separate_q_model:
             @fwd_jit
@@ -308,10 +315,23 @@ class PointCloudCodec:
         self._z_hat = z_hat_fn
 
         def synthesis_fn(params, y_hat, q_hat, k):
-            x, qf, _, ov_a = synth_a_fn(params, y_hat, q_hat, k)
-            x, qf, _, ov_b = synth_b_fn(params, x, qf, k)
-            x, _, ov_c = synth_c_fn(params, x, qf, k)
-            x_hat, ov_d = synth_d_fn(params, x)
+            stage_marks = (
+                _phase_marks("synthesis")
+                if os.environ.get("LCPCGA_PROFILE") == "2" else None
+            )
+
+            def bar(name, out):
+                # LCPCGA_PROFILE=2: block between stages to attribute
+                # device time (the async chain hides it in one sync).
+                if stage_marks is not None:
+                    jax.block_until_ready(out)
+                    stage_marks(name)
+                return out
+
+            x, qf, _, ov_a = bar("a", synth_a_fn(params, y_hat, q_hat, k))
+            x, qf, _, ov_b = bar("b", synth_b_fn(params, x, qf, k))
+            x, _, ov_c = bar("c", synth_c_fn(params, x, qf, k))
+            x_hat, ov_d = bar("d", synth_d_fn(params, x))
             return x_hat, ov_a | ov_b | ov_c | ov_d
 
         self._analysis = analysis_fn
@@ -639,10 +659,9 @@ class PointCloudCodec:
         # y stream: only the uint8 indexes come down and only int8
         # residuals (+ escape list) go back up; the f32 add happens on
         # device (the same IEEE f32 add as the host path — integer-exact
-        # values + means on every carrier width).
-        if not hasattr(self, "_idx_u8_fn"):
-            self._idx_u8_fn = jax.jit(lambda i: i.astype(jnp.uint8))
-        idx_np = np.asarray(self._idx_u8_fn(indexes)[0, :n_y]).astype(np.int32)
+        # values + means on every carrier width). decode_params already
+        # returns indexes as uint8 (see decode_params_fn).
+        idx_np = np.asarray(indexes[0, :n_y]).astype(np.int32)
         mark("decode_params block+idx fetch")
         cb = means.shape[-1]
         v_y = rans_decode(stream.y_payload, idx_np.ravel(), self.tables_y).reshape(n_y, cb)

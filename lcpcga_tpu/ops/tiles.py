@@ -166,11 +166,18 @@ def _flat_local(local: jax.Array, size: int = TILE) -> jax.Array:
 # lists are canonically sorted by construction and rank lookups gather
 # straight at the key value.
 
-# Largest volume the scatter/cumsum path is worth: 256^3 = 16.7M cells.
+# Largest volume the scatter/cumsum path is worth: 256^3 = 16.7M cells
+# (67 MB int32 per vmap item — bounded HBM).
 VOL_SPAN_MAX = 256
 # Volume path must also beat sorting ~rows keys: skip it when the tile
-# space dwarfs the row count (e.g. training-scale cubes).
-VOL_ROWS_RATIO = 32
+# space dwarfs the row count (e.g. training-scale cubes). The sort
+# alternative costs ~26 searchsorted sweeps of n_rows x log2(n_rows)
+# poorly-coalesced steps (~470 x n_rows at vox10 tile counts; measured
+# 1.4 s for 375k tiles on v5e vs ~0.1 s for the 16.7M-cell volume), so
+# the crossover sits near span^3 ~ 100 x n_rows with a safety margin.
+# Ratio 32 left the stride-1 candidate/post grids (span 256, ~230-375k
+# tiles) on the sort path — the measured r3 decode hotspot.
+VOL_ROWS_RATIO = 128
 
 
 def grid_span(grid: TileGrid) -> int:

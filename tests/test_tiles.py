@@ -127,10 +127,14 @@ def test_volume_paths_match_sort(monkeypatch):
         pg2, pf2 = TL.downsample_pack(g2, f2, 256)
         return grid, feats, nbr, sc, gu, emb, pg, pf, g2, f2, pg2, pf2
 
+    # Pin each dispatch explicitly (the default ratio can land either
+    # side for this fixture): ratio 0 forces sort, huge forces volume.
+    span = 32  # COORD_RANGE // (stride 8 * tile 4)
+    monkeypatch.setattr(TL, "VOL_ROWS_RATIO", 0)
+    assert not TL._use_volume(span, st.keys.shape[1])
     base = snapshot()
-    assert not TL._use_volume(TL.grid_span(base[0]), st.keys.shape[1])
     monkeypatch.setattr(TL, "VOL_ROWS_RATIO", 10**9)
-    assert TL._use_volume(TL.grid_span(base[0]), st.keys.shape[1])
+    assert TL._use_volume(span, st.keys.shape[1])
     vol = snapshot()
 
     names = ["grid", "feats", "nbr", "sc", "gu", "emb", "pg", "pf",
