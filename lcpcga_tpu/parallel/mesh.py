@@ -23,6 +23,45 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def distributed_init(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Join a multi-host (pod / DCN) job via ``jax.distributed``.
+
+    Arguments default to the standard launcher environment
+    (``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` /
+    ``JAX_PROCESS_ID``; on Cloud TPU pods ``initialize()`` auto-detects
+    all three). After this returns, ``jax.devices()`` spans the whole
+    job and :func:`data_parallel_mesh` builds the global mesh — the
+    sharding annotations in ``parallel/train_step.py`` are unchanged,
+    XLA routes the gradient all-reduce over ICI within a host group and
+    DCN across them. Returns this host's process index. Idempotent:
+    re-initialisation errors are swallowed so trainers can call it
+    unconditionally.
+    """
+    import os
+
+    kw = {}
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr:
+        kw["coordinator_address"] = addr
+    n = num_processes if num_processes is not None else os.environ.get(
+        "JAX_NUM_PROCESSES")
+    if n is not None:
+        kw["num_processes"] = int(n)
+    pid = process_id if process_id is not None else os.environ.get(
+        "JAX_PROCESS_ID")
+    if pid is not None:
+        kw["process_id"] = int(pid)
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is None:
+        jax.distributed.initialize(**kw)
+    return jax.process_index()
+
+
 def data_parallel_mesh(devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices) if devices is not None else jax.devices()
     return Mesh(np.array(devices), (DATA_AXIS,))

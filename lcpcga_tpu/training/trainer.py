@@ -113,6 +113,12 @@ class Training:
             clip=config.get("clip_grad_norm", 1.0),
             steps_per_epoch=steps_per_epoch,
         )
+        if use_mesh and config.get("distributed"):
+            # Multi-host pod: join the job before building the mesh so
+            # jax.devices() spans every host (parallel/mesh.py).
+            from ..parallel import distributed_init
+
+            distributed_init()
         mesh = data_parallel_mesh() if use_mesh else None
         self.mesh = mesh
         self.step_fn = make_train_step(self.model, self.loss, self.qmap, opt, aux_opt,

@@ -88,3 +88,30 @@ def test_sharded_train_step_runs_and_matches_single_device(setup):
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
     assert int(s.step) == 5
+
+
+def test_distributed_init_single_process():
+    """jax.distributed join path (parallel/mesh.py distributed_init):
+    exercised as a 1-process job in a fresh interpreter (initialize()
+    mutates global backend state, so it must not run in this process).
+    Multi-host runs differ only in env values."""
+    import subprocess
+    import sys
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+        "from lcpcga_tpu.parallel import distributed_init\n"
+        "pid = distributed_init('localhost:18765', num_processes=1, process_id=0)\n"
+        "assert pid == 0, pid\n"
+        "assert jax.process_count() == 1\n"
+        "pid2 = distributed_init('localhost:18765', num_processes=1, process_id=0)\n"
+        "assert pid2 == 0  # idempotent re-init\n"
+        "print('DIST_OK')\n"
+    )
+    import os
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=180, env=env,
+                         cwd=os.path.dirname(os.path.dirname(__file__)))
+    assert "DIST_OK" in out.stdout, (out.stdout, out.stderr)
