@@ -24,6 +24,9 @@ OPERATING_POINTS = [(0.05, 0.1), (0.1, 0.2), (0.2, 0.4), (0.4, 0.8),
                     (0.6, 0.9), (1.0, 1.0)]
 
 
+REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
+
+
 def main(weights="results/synthetic_flagship/weights.msgpack",
          n_points=250_000):
     import jax
@@ -35,7 +38,17 @@ def main(weights="results/synthetic_flagship/weights.msgpack",
     from lcpcga_tpu.models import Capacities, make_model
     from lcpcga_tpu.utils import load_config
 
-    config = load_config(os.path.join(os.path.dirname(weights), "config.yaml"))
+    # results/ is gitignored scratch; fall back to the durable
+    # git-tracked weights mirror + flagship config when it is absent
+    # (the training run re-exports to both, scripts/train_synthetic.py).
+    if not os.path.exists(weights) and os.path.exists(
+        os.path.join(REPO, "trained", "weights.msgpack")
+    ):
+        weights = os.path.join(REPO, "trained", "weights.msgpack")
+    cfg_path = os.path.join(os.path.dirname(weights), "config.yaml")
+    if not os.path.exists(cfg_path):
+        cfg_path = os.path.join(REPO, "configs", "ours.yaml")
+    config = load_config(cfg_path)
 
     frames = []
     for i in range(2):
