@@ -111,3 +111,42 @@ def test_loader_shapes():
     coords, feats, valid = batches[0]
     assert coords.shape == (4, 768, 3) and feats.shape == (4, 768, 3)
     assert valid.sum(axis=1).min() > 0
+
+
+def test_voxelize_devoxelize_roundtrip():
+    """Voxelize -> Devoxelize recovers the (deduplicated) integer point
+    set and its colors (/root/reference/data/transform.py:190-272)."""
+    from lcpcga_tpu.data.transform import Devoxelize, Voxelize
+
+    rng = np.random.default_rng(3)
+    pts = np.unique(rng.integers(0, 32, (300, 3)), axis=0).astype(np.float64)
+    colors = rng.random((pts.shape[0], 3)).astype(np.float32)
+    sample = {"points": pts, "colors": colors}
+    vox = Voxelize({"block_size": 32})(dict(sample))
+    assert vox["voxels"].shape == (4, 32, 32, 32)
+    assert "points" not in vox
+    back = Devoxelize({"block_size": 32})(vox)
+    order = np.lexsort(back["points"].T)
+    ref_order = np.lexsort(pts.T)
+    np.testing.assert_array_equal(back["points"][order], pts[ref_order])
+    np.testing.assert_allclose(back["colors"][order], colors[ref_order],
+                               atol=1e-6)
+
+
+def test_project_texture_skip_and_apply():
+    """probability is the chance of SKIPPING (reference quirk,
+    /root/reference/data/transform.py:357-358); applied projection
+    recolors exactly the in-footprint points."""
+    from lcpcga_tpu.data.transform import ProjectTexture
+
+    pts = np.array([[1.0, 2.0, 3.0], [5.0, 5.0, 0.0], [200.0, 1.0, 0.0]])
+    colors = np.full((3, 3), 0.25, np.float32)
+    t = ProjectTexture({"block_size": 16, "probability": 1.0})
+    out = t({"points": pts, "colors": colors}, np.random.default_rng(0))
+    np.testing.assert_array_equal(out["colors"], colors)  # always skipped
+
+    t = ProjectTexture({"block_size": 16, "probability": 0.0})
+    out = t({"points": pts, "colors": colors.copy()},
+            np.random.default_rng(0))
+    assert not np.allclose(out["colors"][:2], 0.25)  # in-footprint recolored
+    np.testing.assert_array_equal(out["colors"][2], colors[2])  # x=200 out
