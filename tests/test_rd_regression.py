@@ -17,10 +17,13 @@ import os
 import numpy as np
 import pytest
 
-WEIGHTS = os.path.join(
-    os.path.dirname(__file__), os.pardir,
-    "results", "synthetic_flagship", "weights.msgpack",
-)
+_REPO = os.path.join(os.path.dirname(__file__), os.pardir)
+# Prefer the live training export; fall back to the durable git-tracked
+# mirror so the regression runs in fresh environments too.
+WEIGHTS = os.path.join(_REPO, "results", "synthetic_flagship",
+                       "weights.msgpack")
+if not os.path.exists(WEIGHTS):
+    WEIGHTS = os.path.join(_REPO, "trained", "weights.msgpack")
 
 pytestmark = pytest.mark.skipif(
     not os.path.exists(WEIGHTS), reason="no trained weights exported"
@@ -41,7 +44,10 @@ def trained_codec():
     from lcpcga_tpu.models import Capacities, make_model
     from lcpcga_tpu.utils import load_config
 
-    config = load_config(os.path.join(os.path.dirname(WEIGHTS), "config.yaml"))
+    cfg_path = os.path.join(os.path.dirname(WEIGHTS), "config.yaml")
+    if not os.path.exists(cfg_path):  # mirror dir carries no config copy
+        cfg_path = os.path.join(_REPO, "configs", "ours.yaml")
+    config = load_config(cfg_path)
     coords, colors = body_cloud(60_000, resolution=512, seed=990_001)
     caps = dataclasses.replace(
         Capacities.for_cloud(coords, margin=1.4), same_tile_fraction=1.05
