@@ -27,8 +27,11 @@ OPERATING_POINTS = [(0.05, 0.1), (0.1, 0.2), (0.2, 0.4), (0.4, 0.8),
 REPO = os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir)
 
 
-def main(weights="results/synthetic_flagship/weights.msgpack",
-         n_points=250_000):
+DEFAULT_WEIGHTS = os.path.join(
+    REPO, "results", "synthetic_flagship", "weights.msgpack")
+
+
+def main(weights=DEFAULT_WEIGHTS, n_points=250_000):
     import jax
     from flax import serialization
 
@@ -38,17 +41,18 @@ def main(weights="results/synthetic_flagship/weights.msgpack",
     from lcpcga_tpu.models import Capacities, make_model
     from lcpcga_tpu.utils import load_config
 
-    # results/ is gitignored scratch; fall back to the durable
-    # git-tracked weights mirror + flagship config when it is absent
-    # (the training run re-exports to both, scripts/train_synthetic.py).
-    if not os.path.exists(weights) and os.path.exists(
-        os.path.join(REPO, "trained", "weights.msgpack")
-    ):
+    # results/ is gitignored scratch; ONLY the default path falls back
+    # to the durable git-tracked weights mirror (an explicitly passed
+    # path that does not exist must error, not silently eval the
+    # mirror — ADVICE r3).
+    if weights == DEFAULT_WEIGHTS and not os.path.exists(weights) \
+            and os.path.exists(os.path.join(REPO, "trained", "weights.msgpack")):
         weights = os.path.join(REPO, "trained", "weights.msgpack")
     cfg_path = os.path.join(os.path.dirname(weights), "config.yaml")
     if not os.path.exists(cfg_path):
         cfg_path = os.path.join(REPO, "configs", "ours.yaml")
     config = load_config(cfg_path)
+    print(f"weights: {weights}\nconfig:  {cfg_path}", flush=True)
 
     frames = []
     for i in range(2):
@@ -95,6 +99,17 @@ def main(weights="results/synthetic_flagship/weights.msgpack",
 
     codec = PointCloudCodec(model, params, strict_overflow=False)
     codec.update()
+
+    # Warmup roundtrip so no timed CSV row includes JIT compile time
+    # (ADVICE r3: the first row's 410 s compress was compile-inclusive
+    # and skewed any aggregation).
+    import time as _time
+
+    t0 = _time.time()
+    codec.timed_roundtrip(frames[0]["points"].astype(np.int32),
+                          frames[0]["colors"].astype(np.float32),
+                          (OPERATING_POINTS[0][0], OPERATING_POINTS[0][1]))
+    print(f"warmup (compile-inclusive): {_time.time()-t0:.1f}s", flush=True)
 
     out_dir = os.path.join(os.path.dirname(weights), "rd_eval")
     runner = TestsetRunner(out_dir, resolution=1023, use_pcqm=False)

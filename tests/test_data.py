@@ -142,7 +142,9 @@ def test_project_texture_skip_and_apply():
     pts = np.array([[1.0, 2.0, 3.0], [5.0, 5.0, 0.0], [200.0, 1.0, 0.0]])
     colors = np.full((3, 3), 0.25, np.float32)
     t = ProjectTexture({"block_size": 16, "probability": 1.0})
-    out = t({"points": pts, "colors": colors}, np.random.default_rng(0))
+    # Pass a copy so the assertion compares against a pristine original
+    # (same-object compare could not detect in-place mutation).
+    out = t({"points": pts, "colors": colors.copy()}, np.random.default_rng(0))
     np.testing.assert_array_equal(out["colors"], colors)  # always skipped
 
     t = ProjectTexture({"block_size": 16, "probability": 0.0})
