@@ -11,6 +11,7 @@ driver provides the real TPU chip).
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -24,9 +25,56 @@ BASELINE_FPS = 1.0 / (REF_ENCODE_S + REF_DECODE_S)
 N_POINTS = 780_000
 WARMUP = 1
 ITERS = 3
+# Internal deadline: the driver bounds this script with `timeout`; bail
+# out with whatever measurements exist rather than losing the round's
+# bench line entirely (round-3 driver run: rc=124, no JSON).
+DEADLINE_S = float(os.environ.get("LCPCGA_BENCH_DEADLINE_S", "1380"))
+_T0 = time.time()
+_BEST = {}  # filled with (enc_list, dec_list, bpp) as results arrive
+
+
+def _log(msg):
+    print(f"[bench {time.time()-_T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+def _emit_and_exit(*_args):
+    """Print the best-known result line (SIGTERM from `timeout`, or the
+    internal deadline). Exits 0 if any timed roundtrip completed."""
+    if not _BEST.get("enc"):
+        _log("no completed roundtrip yet; nothing to report")
+        os._exit(3)
+    _print_result(_BEST["enc"], _BEST["dec"], _BEST["bpp"], _BEST["trained"],
+                  _BEST.get("backend", "tpu"), partial=True)
+    os._exit(0)
+
+
+def _print_result(enc, dec, bpp, trained, backend, partial=False):
+    t_enc = float(np.mean(enc))
+    t_dec = float(np.mean(dec))
+    fps = 1.0 / (t_enc + t_dec)
+    detail = {
+        "n_points": N_POINTS,
+        "t_encode_s": round(t_enc, 4),
+        "t_decode_s": round(t_dec, 4),
+        ("bpp" if trained else "bpp_random_weights"): round(bpp, 3),
+        "weights": "trained" if trained else "random",
+        "backend": backend,
+        "iters": len(enc),
+    }
+    if partial:
+        detail["partial"] = True
+    sys.stderr.flush()
+    print(json.dumps({
+        "metric": "encode_decode_fps",
+        "value": round(fps, 4),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 4),
+        "detail": detail,
+    }), flush=True)
 
 
 def main():
+    signal.signal(signal.SIGTERM, _emit_and_exit)
     import jax
     import jax.numpy as jnp
 
@@ -35,6 +83,7 @@ def main():
     from lcpcga_tpu.models import Capacities, ColorModel
     from lcpcga_tpu import ops
 
+    _log(f"imports done (backend {jax.default_backend()})")
     coords, colors = surface_cloud(N_POINTS, resolution=1024, seed=0)
     n = coords.shape[0]
 
@@ -80,36 +129,33 @@ def main():
             break
 
     codec = PointCloudCodec(model, params, strict_overflow=False)
+    _log("codec built; update() ...")
     codec.update()
+    _log("update done; warmup (compile) ...")
 
+    backend = jax.default_backend()
     # Warmup (compile).
     for _ in range(WARMUP):
-        codec.timed_roundtrip(coords, colors, (0.2, 0.4))
+        r = codec.timed_roundtrip(coords, colors, (0.2, 0.4))
+        # Warmup timings are compile-inclusive — only used if nothing
+        # better lands before the deadline.
+        _BEST.update(enc=[r["t_compress"]], dec=[r["t_decompress"]],
+                     bpp=r["bpp"], trained=trained, backend=backend)
+    _log(f"warmup done ({r['t_compress']:.2f}s/{r['t_decompress']:.2f}s)")
 
     enc, dec = [], []
-    for _ in range(ITERS):
+    for i in range(ITERS):
         r = codec.timed_roundtrip(coords, colors, (0.2, 0.4))
         enc.append(r["t_compress"])
         dec.append(r["t_decompress"])
+        _BEST.update(enc=list(enc), dec=list(dec), bpp=r["bpp"],
+                     trained=trained, backend=backend)
+        _log(f"iter {i}: {r['t_compress']:.2f}s/{r['t_decompress']:.2f}s")
+        if time.time() - _T0 > DEADLINE_S:
+            _log("internal deadline reached; reporting partial mean")
+            break
 
-    t_enc = float(np.mean(enc))
-    t_dec = float(np.mean(dec))
-    fps = 1.0 / (t_enc + t_dec)
-    result = {
-        "metric": "encode_decode_fps",
-        "value": round(fps, 4),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 4),
-        "detail": {
-            "n_points": int(n),
-            "t_encode_s": round(t_enc, 4),
-            "t_decode_s": round(t_dec, 4),
-            ("bpp" if trained else "bpp_random_weights"): round(r["bpp"], 3),
-            "weights": "trained" if trained else "random",
-            "backend": jax.default_backend(),
-        },
-    }
-    print(json.dumps(result))
+    _print_result(enc, dec, r["bpp"], trained, backend)
 
 
 if __name__ == "__main__":

@@ -793,11 +793,6 @@ class PointCloudCodec:
         sweeps run ONCE over the whole batch.
         """
         self._require_tables()
-        if self.model.separate_q_model:
-            raise NotImplementedError(
-                "compress_batch does not serialize the separate_q_model "
-                "q/qz streams yet; use compress() per frame"
-            )
         B = len(frames)
         cap = self.caps.cap(1)
         if not isinstance(qs, list):
@@ -823,7 +818,7 @@ class PointCloudCodec:
         x = self._shard(x, mesh)
         q_st = self._shard(q_st, mesh)
 
-        y, _q_latent, k, ov_a = self._analysis(self.params, x, q_st)
+        y, q_latent, k, ov_a = self._analysis(self.params, x, q_st)
         z_vals_dev, z_count_dev, ov_z = self._encode_z(self.params, y)
         if self.strict_overflow and (
             bool(np.asarray(ov_a).any()) or bool(np.asarray(ov_z).any())
@@ -859,6 +854,45 @@ class PointCloudCodec:
         y_np = np.asarray(y.feats, np.float32)
         y_counts = np.asarray(y.count)
         k_np = np.asarray(k)
+
+        # separate_q_model ablation: batched qz sweep + per-item q/qz
+        # rANS streams (mirrors the single-frame path,
+        # /root/reference/model/model.py:129-135,242-263).
+        q_extras = [{"q_payload": b"", "qz_payload": b"", "qz_length": 0}
+                    for _ in range(B)]
+        if self.model.separate_q_model:
+            qz_vals_dev, qz_count_dev, _ = self._encode_qz(self.params, q_latent)
+            qz_counts = np.asarray(qz_count_dev)
+            qz_np = np.asarray(qz_vals_dev)
+            qch = self.qz_medians.shape[0]
+            capz = self.caps.cap(Z_STRIDE)
+            qz_pad = np.zeros((B, capz, qch), np.float32)
+            for b in range(B):
+                n_qz = int(qz_counts[b])
+                qz_pad[b, :n_qz] = (qz_np[b, :n_qz].astype(np.float32)
+                                    + self.qz_medians[None, :])
+            y_coords_q = self._coords_st(y.keys, y.count, LATENT_STRIDE)
+            _, q_means, q_idx, _ = self._decode_params_q(
+                self.params, y_coords_q, jnp.asarray(qz_pad)
+            )
+            q_feats_np = np.asarray(q_latent.feats, np.float32)
+            qm_np = np.asarray(q_means, np.float32)
+            qi_np = np.asarray(q_idx, np.int32)
+            for b in range(B):
+                n_qz = int(qz_counts[b])
+                n_y = int(y_counts[b])
+                qz_vals = qz_np[b, :n_qz].astype(np.int32)
+                v_q = np.round(q_feats_np[b, :n_y]
+                               - qm_np[b, :n_y]).astype(np.int32)
+                q_extras[b] = {
+                    "q_payload": rans_encode(
+                        v_q.ravel(), qi_np[b, :n_y].ravel(), self.tables_y),
+                    "qz_payload": rans_encode(
+                        qz_vals.ravel(), _channel_indexes(n_qz, qch),
+                        self.tables_qz),
+                    "qz_length": n_qz,
+                }
+
         streams = []
         for b in range(B):
             n_y = int(y_counts[b])
@@ -869,6 +903,7 @@ class PointCloudCodec:
             y_xyz = np.asarray(C.unpack(y.keys[b, :n_y]))
             points_payload = octree_encode(y_xyz // LATENT_STRIDE, self.depth - 3)
             streams.append(Bitstream(
+                **q_extras[b],
                 z_length=int(z_counts[b]),
                 k=[int(v) for v in k_np[b]],
                 points_payload=points_payload,
@@ -889,11 +924,6 @@ class PointCloudCodec:
         """Inverse of compress_batch: decode N streams with ONE batched
         parameter sweep + synthesis. Returns [(coords, colors), ...]."""
         self._require_tables()
-        if self.model.separate_q_model:
-            raise NotImplementedError(
-                "decompress_batch does not decode the separate_q_model "
-                "q/qz streams yet; use decompress() per frame"
-            )
         B = len(streams)
         cap8 = self.caps.cap(LATENT_STRIDE)
         capz = self.caps.cap(Z_STRIDE)
@@ -932,6 +962,36 @@ class PointCloudCodec:
             ).reshape(n_y, cb)
             y_hat_pad[b, :n_y] = v_y.astype(np.float32) + means_np[b, :n_y]
         y_hat = y_coords.with_feats(self._shard(jnp.asarray(y_hat_pad), mesh))
+
+        # separate_q_model: reconstruct the quality map from its own
+        # batched qz sweep + per-item q streams (q_hat from the
+        # h_q-free decode_params is None in this mode).
+        if self.model.separate_q_model:
+            qch = self.qz_medians.shape[0]
+            qz_pad = np.zeros((B, capz, qch), np.float32)
+            for b, stream in enumerate(streams):
+                n_qz = stream.qz_length
+                qz_vals = rans_decode(
+                    stream.qz_payload, _channel_indexes(n_qz, qch),
+                    self.tables_qz,
+                ).reshape(n_qz, qch)
+                qz_pad[b, :n_qz] = (qz_vals.astype(np.float32)
+                                    + self.qz_medians[None, :])
+            _, q_means, q_idx, _ = self._decode_params_q(
+                self.params, y_coords, self._shard(jnp.asarray(qz_pad), mesh)
+            )
+            qm_np = np.asarray(q_means, np.float32)
+            qi_np = np.asarray(q_idx, np.int32)
+            qb = qm_np.shape[-1]
+            q_hat_pad = np.zeros((B, cap8, qb), np.float32)
+            for b, stream in enumerate(streams):
+                n_y = n_ys[b]
+                v_q = rans_decode(
+                    stream.q_payload, qi_np[b, :n_y].ravel(), self.tables_y
+                ).reshape(n_y, qb)
+                q_hat_pad[b, :n_y] = v_q.astype(np.float32) + qm_np[b, :n_y]
+            q_hat = y_coords.with_feats(self._shard(jnp.asarray(q_hat_pad), mesh))
+
         k = jnp.asarray([s.k for s in streams], jnp.int32)
         x_hat, ov_s = self._synthesis(self.params, y_hat, q_hat, k)
         if self.strict_overflow and bool(np.asarray(ov_s).any()):

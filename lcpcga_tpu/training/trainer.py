@@ -184,16 +184,51 @@ class Training:
     # -- loops --
 
     def train_epoch(self, epoch: int):
+        """One epoch with a prefetch thread and deferred metric fetches.
+
+        The per-step ``float(metrics[...])`` of the naive loop forces a
+        device sync every step (23 ms tunnel RTT + no host/device
+        overlap); instead batches are staged on a worker thread and
+        metric scalars stay on device, drained with a small lag so at
+        most ``lag`` steps are ever in flight.
+        """
+        import queue as _queue
+        import threading
+
         meter, aux_meter = AverageMeter(), AverageMeter()
         t0 = time.time()
-        for coords, feats, valid in self.loader:
-            batch = (jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid))
-            if self.mesh is not None:
-                batch = shard_batch(self.mesh, batch)
+
+        q: "_queue.Queue" = _queue.Queue(maxsize=4)
+
+        def _producer():
+            for coords, feats, valid in self.loader:
+                batch = (jnp.asarray(coords), jnp.asarray(feats),
+                         jnp.asarray(valid))
+                if self.mesh is not None:
+                    batch = shard_batch(self.mesh, batch)
+                q.put(batch)
+            q.put(None)
+
+        producer = threading.Thread(target=_producer, daemon=True)
+        producer.start()
+
+        lag = 8
+        pending = []
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.step_fn(self.state, *batch, step_rng)
-            meter.update(float(metrics["loss"]))
-            aux_meter.update(float(metrics["aux_loss"]))
+            pending.append(metrics)
+            if len(pending) > lag:
+                m = pending.pop(0)
+                meter.update(float(m["loss"]))
+                aux_meter.update(float(m["aux_loss"]))
+        for m in pending:
+            meter.update(float(m["loss"]))
+            aux_meter.update(float(m["aux_loss"]))
+        producer.join()
         dt = time.time() - t0
         print(f"epoch {epoch}: loss={meter.avg:.4f} aux={aux_meter.avg:.4f} ({dt:.1f}s)")
         return {"epoch": epoch, "loss": meter.avg, "aux_loss": aux_meter.avg, "time": dt}
