@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from . import coords as C
 from .sparse import SparseTensor, gather_rows
 
 # Gathered im2col buffers up to this many elements use the single-matmul
@@ -130,6 +131,16 @@ def sparse_conv_streamed(
     keys_p = jnp.pad(out_keys, ((0, 0), (0, pad_rows)), constant_values=C.INVALID_KEY)
     keys_c = keys_p.reshape(B, n_chunks, chunk)
 
+    # Small coordinate spaces (training cubes): one dense rank volume
+    # per item, shared by every tap and chunk — O(1) lookups instead of
+    # a 12-step binary search per query.
+    cells = 1 << (3 * in_st.space_bits)
+    if cells <= C.DENSE_LOOKUP_MAX_CELLS:
+        vol = jax.vmap(lambda tk: C.rank_volume(tk, cells))(in_st.keys)
+        lookup_b = lambda qk: jax.vmap(C.volume_lookup)(vol, in_st.keys, qk)
+    else:
+        lookup_b = lambda qk: jax.vmap(C.lookup)(in_st.keys, qk)
+
     def do_chunk(chunk_keys):  # [B, chunk]
         coords = C.unpack(chunk_keys)
         valid = chunk_keys != C.INVALID_KEY
@@ -141,7 +152,7 @@ def sparse_conv_streamed(
         def tap(acc, k):
             off = jax.lax.dynamic_index_in_dim(offsets, k, axis=0, keepdims=False)
             qk = jax.vmap(C.pack_valid)(coords + off[None, None, :], valid)
-            idx = jax.vmap(C.lookup)(in_st.keys, qk)
+            idx = lookup_b(qk)
             g = jax.vmap(lambda f, i: jnp.take(f, i, axis=0))(pad, idx)
             w = jax.lax.dynamic_index_in_dim(kern, k, axis=0, keepdims=False)
             return acc + jnp.einsum(
@@ -242,3 +253,65 @@ def avg_pool(
     out = total / cnt[..., None]
     out = jnp.where(out_st.valid[..., None], out, 0)
     return out_st.with_feats(out)
+
+
+def _box_sum(vol: jax.Array, axes=(1, 2, 3)) -> jax.Array:
+    """Separable 3^3 box-filter sum with zero boundary (6 shifted adds)."""
+    for ax in axes:
+        n = vol.shape[ax]
+        lo = jax.lax.slice_in_dim(vol, 0, n - 1, axis=ax)
+        hi = jax.lax.slice_in_dim(vol, 1, n, axis=ax)
+        zero = jnp.zeros_like(jax.lax.slice_in_dim(vol, 0, 1, axis=ax))
+        vol = (vol
+               + jnp.concatenate([zero, lo], axis=ax)
+               + jnp.concatenate([hi, zero], axis=ax))
+    return vol
+
+
+def avg_pool_at(src: SparseTensor, query: SparseTensor) -> SparseTensor:
+    """``avg_pool`` over the 3^3 stride-neighborhood of each QUERY
+    coordinate (MinkowskiAvgPooling(kernel 3) with
+    coordinates=query.C, /root/reference/loss.py:156,190): mean of
+    src's features over neighbors that exist, queried at coordinates
+    that need not be in src.
+
+    Small coordinate spaces (training cubes) use a dense XYZ volume +
+    separable box filter + one gather — no kernel map, no binary
+    search (the sparse path measured 129 ms vs ~10 ms dense at
+    [4, 36864] queries into a 4096-row table).
+    """
+    assert src.stride == query.stride, (src.stride, query.stride)
+    cells = 1 << (3 * src.space_bits)
+    if cells > C.DENSE_LOOKUP_MAX_CELLS:
+        offs = C.conv_offsets(3, src.stride)
+        from .sparse import kernel_map  # local import (module cycle)
+
+        nbr = kernel_map(src, query.keys, offs)
+        return avg_pool(src, query, nbr)
+
+    s = src.stride
+    side = max(1, (1 << src.space_bits) // s)
+    B = src.batch_size
+    Cdim = src.num_channels
+    cell = src.coords // s  # [B, N, 3] in [0, side)
+    flat = (cell[..., 0] * side + cell[..., 1]) * side + cell[..., 2]
+    flat = jnp.where(src.valid, flat, side**3)  # invalid -> dropped
+
+    def scatter_item(fl, fe, va):
+        vals = jnp.concatenate([fe, va[:, None].astype(fe.dtype)], axis=-1)
+        vol = jnp.zeros((side**3, Cdim + 1), fe.dtype)
+        return vol.at[fl].set(jnp.where(va[:, None], vals, 0), mode="drop")
+
+    vol = jax.vmap(scatter_item)(flat, src.feats.astype(jnp.float32), src.valid)
+    vol = vol.reshape(B, side, side, side, Cdim + 1)
+    vol = _box_sum(vol)
+    vol = vol.reshape(B, side**3, Cdim + 1)
+
+    qcell = query.coords // s
+    qflat = (qcell[..., 0] * side + qcell[..., 1]) * side + qcell[..., 2]
+    qin = query.valid & jnp.all((qcell >= 0) & (qcell < side), axis=-1)
+    qflat = jnp.where(qin, qflat, 0)
+    g = jax.vmap(lambda v, i: jnp.take(v, i, axis=0))(vol, qflat)
+    out = g[..., :Cdim] / jnp.maximum(g[..., Cdim:], 1.0)
+    out = jnp.where(qin[..., None], out, 0)
+    return query.with_feats(out.astype(src.feats.dtype))

@@ -115,6 +115,62 @@ def lookup(table_keys: jax.Array, query_keys: jax.Array) -> jax.Array:
     return jnp.where(found, pos, n).astype(jnp.int32)
 
 
+def rank_volume(table_keys: jax.Array, cells: int) -> jax.Array:
+    """Dense rank volume for O(1) key lookup: ``vol[key] = row`` for
+    every valid table row, ``len(table_keys)`` (miss) elsewhere.
+
+    Usable when the coordinate space is small enough to materialize
+    (``cells`` = 8**space_bits Morton slots, e.g. 2M int32 = 8 MB for
+    the 128^3 training cubes). Build once per table, reuse across taps.
+    """
+    n = table_keys.shape[0]
+    valid = table_keys != INVALID_KEY
+    # Invalid rows scatter out of range (mode="drop").
+    slot = jnp.where(valid, table_keys, cells)
+    vol = jnp.full((cells,), n, jnp.int32)
+    return vol.at[slot].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
+
+
+def volume_lookup(vol: jax.Array, table_keys: jax.Array,
+                  query_keys: jax.Array) -> jax.Array:
+    """Resolve queries against a :func:`rank_volume`: one gather + one
+    verification gather per query (vs the 12-step searchsorted binary
+    search that measures ~150 ns/query on TPU — the
+    MultiscaleFocalLoss kernel_map was 2.5 s of the 3.4 s training
+    forward). Same miss convention as lookup()."""
+    n = table_keys.shape[0]
+    cells = vol.shape[0]
+    qin = (query_keys != INVALID_KEY) & (query_keys >= 0) & (query_keys < cells)
+    pos = vol[jnp.where(qin, query_keys, 0)]
+    safe = jnp.minimum(pos, n - 1)
+    found = qin & (pos < n) & (table_keys[safe] == query_keys)
+    return jnp.where(found, pos, n).astype(jnp.int32)
+
+
+def dense_lookup(table_keys: jax.Array, query_keys: jax.Array,
+                 cells: int) -> jax.Array:
+    """:func:`lookup` via a one-shot dense rank volume (see
+    rank_volume/volume_lookup; misses return len(table_keys))."""
+    return volume_lookup(rank_volume(table_keys, cells), table_keys,
+                         query_keys)
+
+
+# Largest dense rank volume worth materializing for lookups: 2**22
+# int32 slots = 16 MB (transient). 128^3 training cubes (space_bits 7,
+# 2M slots) qualify; full vox10 frames (2**30) do not.
+DENSE_LOOKUP_MAX_CELLS = 1 << 22
+
+
+def lookup_in(table_keys: jax.Array, query_keys: jax.Array,
+              space_bits: int) -> jax.Array:
+    """lookup() that takes the table's coordinate-space bound and picks
+    the dense rank-volume path when the space is small enough."""
+    cells = 1 << (3 * space_bits)
+    if cells <= DENSE_LOOKUP_MAX_CELLS:
+        return dense_lookup(table_keys, query_keys, cells)
+    return lookup(table_keys, query_keys)
+
+
 def sort_by_key(keys: jax.Array, *rows: jax.Array):
     """Sort keys ascending and apply the same permutation to row arrays."""
     order = jnp.argsort(keys)

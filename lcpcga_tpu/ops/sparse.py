@@ -42,12 +42,16 @@ class SparseTensor:
     feats:  [B, N, C] float features, zero at padding rows.
     count:  [B] int32 number of valid rows per item.
     stride: static tensor stride (power of two voxel quantization).
+    space_bits: static per-axis coordinate bound (coords < 2**space_bits).
+        Small spaces (128^3 training cubes: 7) let membership ops use a
+        dense rank volume instead of binary search (coords.lookup_in).
     """
 
     keys: jax.Array
     feats: jax.Array
     count: jax.Array
     stride: int = struct.field(pytree_node=False, default=1)
+    space_bits: int = struct.field(pytree_node=False, default=C.COORD_BITS)
 
     @property
     def capacity(self) -> int:
@@ -79,6 +83,7 @@ class SparseTensor:
             feats=feats,
             count=self.count,
             stride=self.stride if stride is None else stride,
+            space_bits=self.space_bits,
         )
 
 
@@ -102,20 +107,28 @@ def from_coords(
     valid: jax.Array,
     stride: int = 1,
     dedup: bool = True,
+    space_bits: int = C.COORD_BITS,
 ) -> SparseTensor:
     """Build a canonical SparseTensor from batched padded raw data.
 
     coords: [B, N, 3] int32, feats: [B, N, C], valid: [B, N] bool.
     Equivalent of ME sparse_collate + SparseTensor construction
     (/root/reference/train.py:185-187).
+
+    space_bits declares the per-axis coordinate bound (coords must be
+    < 2**space_bits); rows outside it are treated as invalid, keeping
+    the dense-lookup invariant (every valid key < 8**space_bits).
     """
     keys = jax.vmap(C.pack_valid)(coords, valid)
+    if space_bits < C.COORD_BITS:
+        keys = jnp.where(keys < (1 << (3 * space_bits)), keys, C.INVALID_KEY)
     keys, feats = jax.vmap(_sort_item)(keys, jnp.where(valid[..., None], feats, 0))
     if dedup:
         keys, feats, count = jax.vmap(_dedup_item)(keys, feats)
     else:
         count = jnp.sum(keys != C.INVALID_KEY, axis=-1).astype(jnp.int32)
-    return SparseTensor(keys=keys, feats=feats, count=count, stride=stride)
+    return SparseTensor(keys=keys, feats=feats, count=count, stride=stride,
+                        space_bits=space_bits)
 
 
 # ---------------------------------------------------------------------------
@@ -143,14 +156,16 @@ def features_at(st: SparseTensor, query_keys: jax.Array) -> jax.Array:
     (e.g. /root/reference/model/blocks.py:37,
     /root/reference/model/transforms.py:124).
     """
-    idx = jax.vmap(C.lookup)(st.keys, query_keys)
+    idx = jax.vmap(lambda tk, qk: C.lookup_in(tk, qk, st.space_bits))(
+        st.keys, query_keys)
     return gather_rows(st.feats, idx)
 
 
 def contains(st: SparseTensor, query_keys: jax.Array) -> jax.Array:
     """[B, M] bool — query key present in st (isin on packed keys,
     /root/reference/model/blocks.py:118-125)."""
-    idx = jax.vmap(C.lookup)(st.keys, query_keys)
+    idx = jax.vmap(lambda tk, qk: C.lookup_in(tk, qk, st.space_bits))(
+        st.keys, query_keys)
     return idx < st.capacity
 
 
@@ -177,7 +192,8 @@ def kernel_map(
 
     def per_item(table_keys, qc, ov):
         qk = C.pack_valid(qc.reshape(-1, 3), jnp.repeat(ov, offsets.shape[0]))
-        return C.lookup(table_keys, qk).reshape(qc.shape[0], qc.shape[1])
+        return C.lookup_in(table_keys, qk, in_st.space_bits).reshape(
+            qc.shape[0], qc.shape[1])
 
     return jax.vmap(per_item)(in_st.keys, q, out_valid)
 
@@ -211,6 +227,7 @@ def downsample_map(st: SparseTensor, capacity: int, kernel_size: int = 3):
         feats=jnp.zeros(out_keys.shape + (0,), st.feats.dtype),
         count=out_count,
         stride=s2,
+        space_bits=st.space_bits,
     )
     nbr = kernel_map(st, out_keys, offs)
     return out_st, nbr
@@ -234,6 +251,7 @@ def union_coords(a: SparseTensor, b: SparseTensor, capacity: int) -> SparseTenso
         feats=jnp.zeros(keys.shape + (0,), a.feats.dtype),
         count=count,
         stride=a.stride,
+        space_bits=min(a.space_bits, b.space_bits),
     )
 
 
@@ -261,6 +279,7 @@ def downsample_coords_only(st: SparseTensor, capacity: int) -> SparseTensor:
         feats=jnp.zeros(out_keys.shape + (0,), st.feats.dtype),
         count=out_count,
         stride=s2,
+        space_bits=st.space_bits,
     )
 
 
@@ -296,11 +315,17 @@ def expand_coords(st: SparseTensor, capacity: int, kernel_size: int = 3):
     offs = C.conv_offsets(kernel_size, t)
     K = offs.shape[0]
 
+    # Candidates clip to the tensor's coordinate space (matches the
+    # tiled path's cell_span clipping for small spaces).
+    cells = 1 << (3 * st.space_bits)
+
     def per_item(keys):
         coords = C.unpack(keys)
         cand = coords[:, None, :] + offs[None, :, :]  # [N, K, 3]
         v = jnp.repeat(keys != C.INVALID_KEY, K)
         ck = C.pack_valid(cand.reshape(-1, 3), v)
+        if st.space_bits < C.COORD_BITS:
+            ck = jnp.where(ck < cells, ck, C.INVALID_KEY)
         ck = jnp.sort(ck)
         keep = C.unique_mask_sorted(ck)
         out_keys, _, count = C.compact_keys(ck, keep, capacity)
@@ -312,6 +337,7 @@ def expand_coords(st: SparseTensor, capacity: int, kernel_size: int = 3):
         feats=jnp.zeros(out_keys.shape + (0,), st.feats.dtype),
         count=out_count,
         stride=t,
+        space_bits=st.space_bits,
     )
 
 
@@ -411,7 +437,8 @@ def prune(st: SparseTensor, keep: jax.Array, capacity: int) -> SparseTensor:
         return keys_out, feats_pad[src], count
 
     keys, feats, count = jax.vmap(per_item)(st.keys, st.feats, keep)
-    return SparseTensor(keys=keys, feats=feats, count=count, stride=st.stride)
+    return SparseTensor(keys=keys, feats=feats, count=count, stride=st.stride,
+                        space_bits=st.space_bits)
 
 
 def prune_to_coords(st: SparseTensor, target_keys: jax.Array, capacity: int) -> SparseTensor:

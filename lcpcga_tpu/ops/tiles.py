@@ -139,6 +139,9 @@ class TileGrid:
     mask: jax.Array
     stride: int = struct.field(pytree_node=False, default=1)
     tile: int = struct.field(pytree_node=False, default=TILE)
+    # Per-axis coordinate bound of the underlying voxel space (see
+    # SparseTensor.space_bits): shrinks spans/volumes at cube scale.
+    space_bits: int = struct.field(pytree_node=False, default=C.COORD_BITS)
 
     @property
     def num_tiles(self) -> int:
@@ -182,7 +185,7 @@ VOL_ROWS_RATIO = 128
 
 def grid_span(grid: TileGrid) -> int:
     """Tiles per axis of a grid's coordinate space."""
-    return C.COORD_RANGE // (grid.stride * grid.tile)
+    return max(1, (1 << grid.space_bits) // (grid.stride * grid.tile))
 
 
 def _use_volume(span: int, n_rows: int) -> bool:
@@ -258,7 +261,7 @@ def build_upsample_grid(
     resolution would be ~97% zeros — 14GB at vox10 scale).
     """
     t = parents.stride // 2
-    cell_span = C.COORD_RANGE // t
+    cell_span = max(1, (1 << parents.space_bits) // t)
     span = cell_span // TILE
     Cin = parents.num_channels
     B, N = parents.keys.shape
@@ -319,7 +322,8 @@ def build_upsample_grid(
             lo, hi, pcell, parents.feats, pvalid)
         grid = TileGrid(
             keys=tile_keys, count=tile_count,
-            mask=mask.reshape(B, tile_capacity, CELLS), stride=t)
+            mask=mask.reshape(B, tile_capacity, CELLS), stride=t,
+            space_bits=parents.space_bits)
         return grid, emb.reshape(B, tile_capacity, PCELLS * Cin)
 
     def tiles_item(lo_i, hi_i, valid_i):
@@ -361,7 +365,8 @@ def build_upsample_grid(
     mask = jax.vmap(mark)(tile_keys, pcell, pvalid)
     mask = mask.reshape(B, tile_capacity, CELLS)
 
-    grid = TileGrid(keys=tile_keys, count=tile_count, mask=mask, stride=t)
+    grid = TileGrid(keys=tile_keys, count=tile_count, mask=mask, stride=t,
+                    space_bits=parents.space_bits)
     return grid, emb
 
 
@@ -379,7 +384,7 @@ def rasterize(
     Cdim = st.num_channels
     B, N = st.keys.shape
     cells = tile**3
-    span = C.COORD_RANGE // (st.stride * tile)
+    span = max(1, (1 << st.space_bits) // (st.stride * tile))
     cell = st.coords // st.stride
     valid = st.valid
 
@@ -404,6 +409,7 @@ def rasterize(
             mask=occ.reshape(B, tile_capacity, cells),
             stride=st.stride,
             tile=tile,
+            space_bits=st.space_bits,
         )
         return grid, feats.reshape(B, tile_capacity, cells * Cdim)
 
@@ -431,6 +437,7 @@ def rasterize(
         mask=occ.reshape(B, tile_capacity, cells),
         stride=st.stride,
         tile=tile,
+        space_bits=st.space_bits,
     )
     return grid, feats.reshape(B, tile_capacity, cells * Cdim)
 
@@ -1021,7 +1028,8 @@ def downsample_pack(
                 qm.reshape(n_chunks * CHUNK, -1)[:tile_capacity])
 
     pf, pm = jax.vmap(assemble)(keys2p, grid.keys, f, m)
-    grid2 = TileGrid(keys=keys2, count=count2, mask=pm, stride=grid.stride * 2)
+    grid2 = TileGrid(keys=keys2, count=count2, mask=pm, stride=grid.stride * 2,
+                     space_bits=grid.space_bits)
     return grid2, pf
 
 
@@ -1103,7 +1111,7 @@ def downsample_pack_t2(
 
     pf, pm = jax.vmap(assemble)(keys2p, grid.keys, feats, grid.mask)
     grid2 = TileGrid(keys=keys2, count=count2, mask=pm, stride=grid.stride * 2,
-                     tile=2)
+                     tile=2, space_bits=grid.space_bits)
     return grid2, pf
 
 
@@ -1334,5 +1342,6 @@ def extract_sparse(
 
     out_keys, out_feats, count = jax.vmap(per_item)(flat_keys, flat_feats)
     return SparseTensor(
-        keys=out_keys, feats=out_feats.astype(feats_dtype), count=count, stride=t
+        keys=out_keys, feats=out_feats.astype(feats_dtype), count=count, stride=t,
+        space_bits=grid.space_bits,
     )

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from ..ops import (
     SparseTensor,
     avg_pool,
+    avg_pool_at,
     contains,
     downsample_map,
     features_at,
@@ -99,10 +100,9 @@ class MultiscaleFocalLoss:
             pt = jnp.clip(pt, 1e-2, 1.0)
             focal = -alpha * (1.0 - pt) ** self.gamma * jnp.log(pt)
 
-            # λ_G averaged over the 3^3 window around each candidate.
-            offs = C.conv_offsets(3, lam.stride)
-            nbr = kernel_map(lam, occ.keys, offs)
-            q_at = avg_pool(lam, occ, nbr)
+            # λ_G averaged over the 3^3 window around each candidate
+            # (dense-volume box filter on small coordinate spaces).
+            q_at = avg_pool_at(lam, occ)
             w = q_at.feats[..., 0]
 
             mask = occ.valid.astype(focal.dtype)

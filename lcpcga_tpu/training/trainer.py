@@ -90,10 +90,15 @@ class Training:
         self.loss = Loss(config.get("loss", {}))
         self.rng = jax.random.PRNGKey(config.get("seed", 0))
 
+        # Per-axis coordinate bound of the training cubes: enables the
+        # dense rank-volume lookup path in every step op (128^3 -> 7).
+        self.space_bits = max(1, int(cube) - 1).bit_length()
+
         coords, feats, valid = next(iter(self.loader))
         from .. import ops
 
-        x = ops.from_coords(jnp.asarray(coords), jnp.asarray(feats), jnp.asarray(valid))
+        x = ops.from_coords(jnp.asarray(coords), jnp.asarray(feats),
+                            jnp.asarray(valid), space_bits=self.space_bits)
         q, lam = self.qmap(x, self.rng)
         init = jax.jit(
             lambda rngs, x, q, lam: self.model.init(rngs, x, q, lam, training=True)
@@ -122,7 +127,7 @@ class Training:
         mesh = data_parallel_mesh() if use_mesh else None
         self.mesh = mesh
         self.step_fn = make_train_step(self.model, self.loss, self.qmap, opt, aux_opt,
-                                       mesh=mesh)
+                                       mesh=mesh, space_bits=self.space_bits)
         self.start_epoch = self.check_resume()
 
     # -- checkpointing (flax msgpack; /root/reference/train.py:287-319) --

@@ -75,7 +75,7 @@ def main(batch=4, capacity=4096, tile_fraction=0.7):
         sets.append(arrs)
     log(f"inputs forced (batch {batch} x {cap}, tile_fraction {tile_fraction})")
 
-    x = ops.from_coords(*sets[0])
+    x = ops.from_coords(*sets[0], space_bits=7)
     rng = jax.random.PRNGKey(0)
     q, lam = qmap(x, rng)
     init = jax.jit(lambda r, x, q, lam: model.init(r, x, q, lam, training=True))
@@ -87,7 +87,7 @@ def main(batch=4, capacity=4096, tile_fraction=0.7):
 
     @jax.jit
     def fwd(params, coords, feats, valid, rng):
-        x = ops.from_coords(coords, feats, valid)
+        x = ops.from_coords(coords, feats, valid, space_bits=7)
         q_key, noise_key = jax.random.split(rng)
         q, lam = qmap(x, q_key)
         out = model.apply(params, x, q, lam, training=True,
@@ -100,7 +100,7 @@ def main(batch=4, capacity=4096, tile_fraction=0.7):
     @jax.jit
     def vgrad(params, coords, feats, valid, rng):
         def objective(p):
-            x = ops.from_coords(coords, feats, valid)
+            x = ops.from_coords(coords, feats, valid, space_bits=7)
             q_key, noise_key = jax.random.split(rng)
             q, lam = qmap(x, q_key)
             out = model.apply(p, x, q, lam, training=True,
@@ -114,7 +114,7 @@ def main(batch=4, capacity=4096, tile_fraction=0.7):
           [(params,) + s + (r,) for s, r in zip(sets, rngs)])
 
     state, opt, aux_opt = create_train_state(model, params)
-    step_fn = make_train_step(model, loss, qmap, opt, aux_opt, donate=False)
+    step_fn = make_train_step(model, loss, qmap, opt, aux_opt, donate=False, space_bits=7)
     bench("full step", step_fn,
           [(state,) + s + (r,) for s, r in zip(sets, rngs)])
 

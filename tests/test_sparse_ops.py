@@ -266,3 +266,68 @@ def test_vmap_consistency_with_single():
         nbr1 = ops.self_kernel_map(single)
         one = ops.sparse_conv_apply(single.feats, nbr1, W, bias, single.valid)
         np.testing.assert_allclose(np.asarray(batched[b]), np.asarray(one[0]), rtol=1e-5, atol=1e-6)
+
+
+def test_dense_lookup_matches_searchsorted():
+    """coords.dense_lookup (rank-volume path used for small coordinate
+    spaces, e.g. 128^3 training cubes) is exactly coords.lookup."""
+    import numpy as np
+    from lcpcga_tpu.ops import coords as C
+
+    rng = np.random.default_rng(0)
+    space_bits = 5  # 32^3 space -> 32768 cells
+    cells = 1 << (3 * space_bits)
+    # Table: sorted unique keys + INVALID padding.
+    n_valid = 100
+    tk = np.sort(rng.choice(cells, size=n_valid, replace=False)).astype(np.int32)
+    table = np.full(160, C.INVALID_KEY, np.int32)
+    table[:n_valid] = tk
+    # Queries: hits, misses inside the space, out-of-space keys, INVALID.
+    queries = np.concatenate([
+        tk[:40],
+        rng.integers(0, cells, 50).astype(np.int32),
+        rng.integers(cells, 1 << 24, 20).astype(np.int32),  # out of space
+        np.full(5, C.INVALID_KEY, np.int32),
+    ])
+    ref = np.asarray(C.lookup(jnp.asarray(table), jnp.asarray(queries)))
+    got = np.asarray(C.dense_lookup(jnp.asarray(table), jnp.asarray(queries), cells))
+    np.testing.assert_array_equal(ref, got)
+    # lookup_in dispatches to the dense path for small spaces and the
+    # searchsorted path for large ones; both must agree with lookup().
+    got_in = np.asarray(C.lookup_in(jnp.asarray(table), jnp.asarray(queries), space_bits))
+    np.testing.assert_array_equal(ref, got_in)
+    got_big = np.asarray(C.lookup_in(jnp.asarray(table), jnp.asarray(queries), C.COORD_BITS))
+    np.testing.assert_array_equal(ref, got_big)
+
+
+def test_avg_pool_at_dense_matches_sparse():
+    """avg_pool_at's dense-volume path equals the kernel_map+avg_pool
+    sparse path (queries off the source set, boundary cells, padding)."""
+    import numpy as np
+    from lcpcga_tpu import ops
+    from lcpcga_tpu.ops import coords as C
+    from lcpcga_tpu.ops import avg_pool, avg_pool_at, kernel_map
+
+    rng = np.random.default_rng(3)
+    B, N, M, side = 2, 60, 90, 16  # space_bits 4 -> dense path
+    sc = rng.integers(0, side, (B, N, 3)).astype(np.int32)
+    sv = np.zeros((B, N), bool); sv[:, :50] = True
+    sf = rng.normal(size=(B, N, 2)).astype(np.float32)
+    src_d = ops.from_coords(jnp.asarray(sc), jnp.asarray(sf), jnp.asarray(sv),
+                            space_bits=4)
+    src_s = ops.from_coords(jnp.asarray(sc), jnp.asarray(sf), jnp.asarray(sv))
+
+    qc = rng.integers(0, side, (B, M, 3)).astype(np.int32)
+    qv = np.zeros((B, M), bool); qv[:, :80] = True
+    qf = np.zeros((B, M, 1), np.float32)
+    q_d = ops.from_coords(jnp.asarray(qc), jnp.asarray(qf), jnp.asarray(qv),
+                          space_bits=4)
+    q_s = ops.from_coords(jnp.asarray(qc), jnp.asarray(qf), jnp.asarray(qv))
+
+    dense = avg_pool_at(src_d, q_d)
+    offs = C.conv_offsets(3, src_s.stride)
+    nbr = kernel_map(src_s, q_s.keys, offs)
+    sparse = avg_pool(src_s, q_s, nbr)
+    np.testing.assert_array_equal(np.asarray(dense.keys), np.asarray(sparse.keys))
+    np.testing.assert_allclose(np.asarray(dense.feats), np.asarray(sparse.feats),
+                               rtol=1e-5, atol=1e-6)
