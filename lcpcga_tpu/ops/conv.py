@@ -131,13 +131,16 @@ def sparse_conv_streamed(
     keys_p = jnp.pad(out_keys, ((0, 0), (0, pad_rows)), constant_values=C.INVALID_KEY)
     keys_c = keys_p.reshape(B, n_chunks, chunk)
 
-    # Small coordinate spaces (training cubes): one dense rank volume
+    # Small (stride-reduced) coordinate spaces: one dense rank volume
     # per item, shared by every tap and chunk — O(1) lookups instead of
     # a 12-step binary search per query.
-    cells = 1 << (3 * in_st.space_bits)
-    if cells <= C.DENSE_LOOKUP_MAX_CELLS:
-        vol = jax.vmap(lambda tk: C.rank_volume(tk, cells))(in_st.keys)
-        lookup_b = lambda qk: jax.vmap(C.volume_lookup)(vol, in_st.keys, qk)
+    shift = 3 * (max(1, in_st.stride).bit_length() - 1)
+    cells = C.dense_cells(in_st.space_bits, in_st.stride)
+    if cells * B <= C.DENSE_LOOKUP_BUDGET:
+        vol = jax.vmap(lambda tk: C.rank_volume(tk, cells, shift))(in_st.keys)
+        lookup_b = lambda qk: jax.vmap(
+            lambda v, tk, q: C.volume_lookup(v, tk, q, shift)
+        )(vol, in_st.keys, qk)
     else:
         lookup_b = lambda qk: jax.vmap(C.lookup)(in_st.keys, qk)
 
@@ -281,8 +284,8 @@ def avg_pool_at(src: SparseTensor, query: SparseTensor) -> SparseTensor:
     [4, 36864] queries into a 4096-row table).
     """
     assert src.stride == query.stride, (src.stride, query.stride)
-    cells = 1 << (3 * src.space_bits)
-    if cells > C.DENSE_LOOKUP_MAX_CELLS:
+    cells = C.dense_cells(src.space_bits, src.stride)
+    if cells * src.batch_size > C.DENSE_LOOKUP_BUDGET:
         offs = C.conv_offsets(3, src.stride)
         from .sparse import kernel_map  # local import (module cycle)
 

@@ -115,59 +115,74 @@ def lookup(table_keys: jax.Array, query_keys: jax.Array) -> jax.Array:
     return jnp.where(found, pos, n).astype(jnp.int32)
 
 
-def rank_volume(table_keys: jax.Array, cells: int) -> jax.Array:
-    """Dense rank volume for O(1) key lookup: ``vol[key] = row`` for
-    every valid table row, ``len(table_keys)`` (miss) elsewhere.
+def rank_volume(table_keys: jax.Array, cells: int, shift: int = 0) -> jax.Array:
+    """Dense rank volume for O(1) key lookup: ``vol[key >> shift] = row``
+    for every valid table row, ``len(table_keys)`` (miss) elsewhere.
 
-    Usable when the coordinate space is small enough to materialize
-    (``cells`` = 8**space_bits Morton slots, e.g. 2M int32 = 8 MB for
-    the 128^3 training cubes). Build once per table, reuse across taps.
+    Usable when the (stride-reduced) coordinate space is small enough to
+    materialize: ``cells`` Morton slots, e.g. 2M int32 = 8 MB for 128^3
+    training cubes (shift 0) or vox10 stride-8 sets (shift 9 — Morton
+    keys of stride-s coords have their low 3*log2(s) bits zero). Build
+    once per table, reuse across taps.
     """
     n = table_keys.shape[0]
     valid = table_keys != INVALID_KEY
     # Invalid rows scatter out of range (mode="drop").
-    slot = jnp.where(valid, table_keys, cells)
+    slot = jnp.where(valid, table_keys >> shift, cells)
     vol = jnp.full((cells,), n, jnp.int32)
     return vol.at[slot].set(jnp.arange(n, dtype=jnp.int32), mode="drop")
 
 
 def volume_lookup(vol: jax.Array, table_keys: jax.Array,
-                  query_keys: jax.Array) -> jax.Array:
+                  query_keys: jax.Array, shift: int = 0) -> jax.Array:
     """Resolve queries against a :func:`rank_volume`: one gather + one
     verification gather per query (vs the 12-step searchsorted binary
     search that measures ~150 ns/query on TPU — the
     MultiscaleFocalLoss kernel_map was 2.5 s of the 3.4 s training
-    forward). Same miss convention as lookup()."""
+    forward). The verification compares FULL keys, so queries that are
+    not stride-aligned with the table correctly miss. Same miss
+    convention as lookup()."""
     n = table_keys.shape[0]
     cells = vol.shape[0]
-    qin = (query_keys != INVALID_KEY) & (query_keys >= 0) & (query_keys < cells)
-    pos = vol[jnp.where(qin, query_keys, 0)]
+    q = query_keys >> shift
+    qin = (query_keys != INVALID_KEY) & (query_keys >= 0) & (q < cells)
+    pos = vol[jnp.where(qin, q, 0)]
     safe = jnp.minimum(pos, n - 1)
     found = qin & (pos < n) & (table_keys[safe] == query_keys)
     return jnp.where(found, pos, n).astype(jnp.int32)
 
 
 def dense_lookup(table_keys: jax.Array, query_keys: jax.Array,
-                 cells: int) -> jax.Array:
+                 cells: int, shift: int = 0) -> jax.Array:
     """:func:`lookup` via a one-shot dense rank volume (see
     rank_volume/volume_lookup; misses return len(table_keys))."""
-    return volume_lookup(rank_volume(table_keys, cells), table_keys,
-                         query_keys)
+    return volume_lookup(rank_volume(table_keys, cells, shift), table_keys,
+                         query_keys, shift)
 
 
-# Largest dense rank volume worth materializing for lookups: 2**22
-# int32 slots = 16 MB (transient). 128^3 training cubes (space_bits 7,
-# 2M slots) qualify; full vox10 frames (2**30) do not.
+# Total dense-rank-volume slots worth materializing across a batch:
+# 2**25 int32 = 128 MB transient HBM. Covers 128^3 training cubes at
+# batch 4 (8M slots) and vox10 sets down to stride 4 at batch 1 (16M).
+DENSE_LOOKUP_BUDGET = 1 << 25
+# Back-compat alias for per-item gating (ops/conv.avg_pool_at).
 DENSE_LOOKUP_MAX_CELLS = 1 << 22
 
 
+def dense_cells(space_bits: int, stride: int = 1) -> int:
+    """Slot count of the stride-reduced Morton space (keys >> shift)."""
+    shift = 3 * (max(1, stride).bit_length() - 1)
+    return 1 << max(0, 3 * space_bits - shift)
+
+
 def lookup_in(table_keys: jax.Array, query_keys: jax.Array,
-              space_bits: int) -> jax.Array:
-    """lookup() that takes the table's coordinate-space bound and picks
-    the dense rank-volume path when the space is small enough."""
-    cells = 1 << (3 * space_bits)
-    if cells <= DENSE_LOOKUP_MAX_CELLS:
-        return dense_lookup(table_keys, query_keys, cells)
+              space_bits: int, stride: int = 1, batch: int = 1) -> jax.Array:
+    """lookup() that takes the table's coordinate-space bound (and
+    stride alignment) and picks the dense rank-volume path when the
+    reduced space fits the batch-wide budget."""
+    shift = 3 * (max(1, stride).bit_length() - 1)
+    cells = 1 << max(0, 3 * space_bits - shift)
+    if cells * max(1, batch) <= DENSE_LOOKUP_BUDGET:
+        return dense_lookup(table_keys, query_keys, cells, shift)
     return lookup(table_keys, query_keys)
 
 

@@ -156,16 +156,16 @@ def features_at(st: SparseTensor, query_keys: jax.Array) -> jax.Array:
     (e.g. /root/reference/model/blocks.py:37,
     /root/reference/model/transforms.py:124).
     """
-    idx = jax.vmap(lambda tk, qk: C.lookup_in(tk, qk, st.space_bits))(
-        st.keys, query_keys)
+    idx = jax.vmap(lambda tk, qk: C.lookup_in(
+        tk, qk, st.space_bits, st.stride, st.batch_size))(st.keys, query_keys)
     return gather_rows(st.feats, idx)
 
 
 def contains(st: SparseTensor, query_keys: jax.Array) -> jax.Array:
     """[B, M] bool — query key present in st (isin on packed keys,
     /root/reference/model/blocks.py:118-125)."""
-    idx = jax.vmap(lambda tk, qk: C.lookup_in(tk, qk, st.space_bits))(
-        st.keys, query_keys)
+    idx = jax.vmap(lambda tk, qk: C.lookup_in(
+        tk, qk, st.space_bits, st.stride, st.batch_size))(st.keys, query_keys)
     return idx < st.capacity
 
 
@@ -192,8 +192,8 @@ def kernel_map(
 
     def per_item(table_keys, qc, ov):
         qk = C.pack_valid(qc.reshape(-1, 3), jnp.repeat(ov, offsets.shape[0]))
-        return C.lookup_in(table_keys, qk, in_st.space_bits).reshape(
-            qc.shape[0], qc.shape[1])
+        return C.lookup_in(table_keys, qk, in_st.space_bits, in_st.stride,
+                           in_st.batch_size).reshape(qc.shape[0], qc.shape[1])
 
     return jax.vmap(per_item)(in_st.keys, q, out_valid)
 

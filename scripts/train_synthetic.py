@@ -61,8 +61,11 @@ def main(epochs=40, num_frames=10):
                            "sequence": f"synthetic_val_{i}", "frame": i})
 
     # Validation builds a full bucketed codec (~10 min compile on the
-    # tunneled chip); keep it rare so wall-clock goes to steps.
-    trainer.train(val_every=20, val_frames=val_frames)
+    # tunneled chip) and contends with the training step for HBM; keep
+    # it rare (or off: LCPCGA_VAL_EVERY=0) so wall-clock goes to steps.
+    val_every = int(os.environ.get("LCPCGA_VAL_EVERY", "20"))
+    trainer.train(val_every=val_every if val_every > 0 else 10**9,
+                  val_frames=val_frames)
     print("weights:", trainer.export_weights(), flush=True)
 
 

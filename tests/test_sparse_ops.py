@@ -331,3 +331,34 @@ def test_avg_pool_at_dense_matches_sparse():
     np.testing.assert_array_equal(np.asarray(dense.keys), np.asarray(sparse.keys))
     np.testing.assert_allclose(np.asarray(dense.feats), np.asarray(sparse.feats),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_dense_lookup_stride_shift():
+    """Stride-aligned tables use a shifted rank volume (vox10 stride-8
+    sets -> 2M cells); misaligned queries must miss, aligned must hit."""
+    import numpy as np
+    from lcpcga_tpu.ops import coords as C
+
+    rng = np.random.default_rng(7)
+    stride = 8
+    shift = 9  # 3 * log2(8)
+    coords = np.unique(rng.integers(0, 1024 // stride, (200, 3)) * stride, axis=0)
+    tk = np.sort(np.asarray(C.pack(jnp.asarray(coords))))
+    table = np.full(256, C.INVALID_KEY, np.int32)
+    table[:len(tk)] = tk
+    # Aligned hits + aligned misses + MISALIGNED queries (stride-4 coords
+    # that shift onto occupied slots but must not match) + INVALID.
+    mis = coords[:30] + np.array([4, 0, 0])
+    qc = np.concatenate([coords[:50], coords[:20] + stride * 16, mis])
+    queries = np.concatenate([
+        np.asarray(C.pack(jnp.asarray(qc.astype(np.int32)))),
+        np.full(4, C.INVALID_KEY, np.int32),
+    ])
+    ref = np.asarray(C.lookup(jnp.asarray(table), jnp.asarray(queries)))
+    cells = 1 << (30 - shift)
+    got = np.asarray(C.dense_lookup(jnp.asarray(table), jnp.asarray(queries),
+                                    cells, shift))
+    np.testing.assert_array_equal(ref, got)
+    got_in = np.asarray(C.lookup_in(jnp.asarray(table), jnp.asarray(queries),
+                                    C.COORD_BITS, stride=stride, batch=1))
+    np.testing.assert_array_equal(ref, got_in)
