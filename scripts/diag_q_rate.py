@@ -15,6 +15,10 @@ import jax
 import numpy as np
 
 jax.config.update("jax_platforms", "cpu")
+# sitecustomize pre-imports jax with JAX_PLATFORMS=axon, so the package
+# enabled the persistent cache; disable it for this forced-CPU run (CPU
+# AOT entries bake in compile-machine features — cross-machine SIGILL).
+jax.config.update("jax_compilation_cache_dir", None)
 
 import jax.numpy as jnp
 from flax import serialization
