@@ -60,8 +60,22 @@ def main(weights=DEFAULT_WEIGHTS, n_points=250_000):
         frames.append({"points": c, "colors": col,
                        "sequence": f"synthetic_val_{i}", "frame": i})
     n_max = max(f["points"].shape[0] for f in frames)
-    caps = dataclasses.replace(Capacities.bucketed(n_max, margin=1.1),
-                               same_tile_fraction=1.3)
+    # Synthetic BODY clouds at vox10 are much sparser than the scanned
+    # surfaces Capacities.for_points is calibrated on: almost no
+    # stride-2/4 merging, so the per-level fractions must be generous
+    # or the pyramid overflows (observed with bucketed(margin=1.1):
+    # "capacity overflow during encode").
+    from lcpcga_tpu.ops import round_up
+
+    # Measured body-cloud fractions at 150k/1024^3: 0.90 / 0.63 / 0.28 /
+    # 0.083 / 0.022 per stride 2..32; sized with ~25% margin.
+    base = round_up(int(Capacities.bucket_points(int(n_max * 1.1))))
+    caps = dataclasses.replace(
+        Capacities(caps=(base, base, round_up(int(base * 0.80)),
+                         round_up(int(base * 0.40)),
+                         round_up(int(base * 0.12)),
+                         round_up(int(base * 0.04)))),
+        same_tile_fraction=1.3)
     model = make_model(config["model"], caps)
 
     # Load exported weights into the model's param structure.
