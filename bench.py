@@ -39,10 +39,23 @@ def _log(msg):
 
 def _emit_and_exit(*_args):
     """Print the best-known result line (SIGTERM from `timeout`, or the
-    internal deadline). Exits 0 if any timed roundtrip completed."""
+    internal deadline). Exits 0 only if a post-warmup roundtrip
+    completed; a warmup-only (compile-inclusive) timing is emitted with
+    value null + nonzero rc so consumers never ingest it as a normal
+    bench line (ADVICE r4 #4)."""
     if not _BEST.get("enc"):
         _log("no completed roundtrip yet; nothing to report")
         os._exit(3)
+    if _BEST.get("warmup_only"):
+        _log("only compile-inclusive warmup finished; reporting null value")
+        print(json.dumps({
+            "metric": "encode_decode_fps", "value": None, "unit": "frames/s",
+            "vs_baseline": None,
+            "detail": {"partial": True, "warmup_only": True,
+                       "t_encode_compile_s": round(float(np.mean(_BEST["enc"])), 4),
+                       "t_decode_compile_s": round(float(np.mean(_BEST["dec"])), 4)},
+        }), flush=True)
+        os._exit(4)
     _print_result(_BEST["enc"], _BEST["dec"], _BEST["bpp"], _BEST["trained"],
                   _BEST.get("backend", "tpu"), partial=True)
     os._exit(0)
@@ -140,7 +153,8 @@ def main():
         # Warmup timings are compile-inclusive — only used if nothing
         # better lands before the deadline.
         _BEST.update(enc=[r["t_compress"]], dec=[r["t_decompress"]],
-                     bpp=r["bpp"], trained=trained, backend=backend)
+                     bpp=r["bpp"], trained=trained, backend=backend,
+                     warmup_only=True)
     _log(f"warmup done ({r['t_compress']:.2f}s/{r['t_decompress']:.2f}s)")
 
     enc, dec = [], []
@@ -149,7 +163,7 @@ def main():
         enc.append(r["t_compress"])
         dec.append(r["t_decompress"])
         _BEST.update(enc=list(enc), dec=list(dec), bpp=r["bpp"],
-                     trained=trained, backend=backend)
+                     trained=trained, backend=backend, warmup_only=False)
         _log(f"iter {i}: {r['t_compress']:.2f}s/{r['t_decompress']:.2f}s")
         if time.time() - _T0 > DEADLINE_S:
             _log("internal deadline reached; reporting partial mean")

@@ -251,7 +251,10 @@ def union_coords(a: SparseTensor, b: SparseTensor, capacity: int) -> SparseTenso
         feats=jnp.zeros(keys.shape + (0,), a.feats.dtype),
         count=count,
         stride=a.stride,
-        space_bits=min(a.space_bits, b.space_bits),
+        # max: a larger declared space is always correct — min would
+        # leave union keys >= 8**space_bits, breaking the dense-lookup
+        # invariant (ADVICE r4 #2).
+        space_bits=max(a.space_bits, b.space_bits),
     )
 
 

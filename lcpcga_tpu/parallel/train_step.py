@@ -91,6 +91,8 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     space_bits: Optional[int] = None,
+    rate_warmup_steps: int = 0,
+    grad_accum: int = 1,
 ) -> Callable:
     """Build the jitted (and optionally mesh-sharded) train step.
 
@@ -102,23 +104,82 @@ def make_train_step(
     step use dense rank-volume lookups (ops/coords.lookup_in) — the
     searchsorted path measured 2.5 s/step in the multiscale focal loss
     alone at batch 4 x 4096.
+
+    rate_warmup_steps: ramp the BPP losses 0 -> 1 over this many steps
+    (distortion-first training; round-4's flat ramp collapsed the y
+    latent before the synthesis could use it). 0 = no warm-up.
+
+    grad_accum: split the batch into this many micro-batches and
+    accumulate gradients before the (single) optimizer update —
+    recovers the reference's effective batch 8 under the 16 GB HBM
+    ceiling that caps the fused step at batch 4 (VERDICT r4 #9).
     """
     from ..ops import coords as _C
 
     sb = _C.COORD_BITS if space_bits is None else int(space_bits)
+    accum = max(1, int(grad_accum))
+
+    def loss_on(params, coords, feats, valid, q_key, noise_key, step_i):
+        x = from_coords(coords, feats, valid, space_bits=sb)
+        q, lam = qmap(x, q_key)
+        out = model.apply(params, x, q, lam, training=True,
+                          rngs={"noise": noise_key})
+        if rate_warmup_steps > 0:
+            # Small floor: a literally-free rate phase lets y/z grow
+            # arbitrarily entropic, which then fights the ramp-in.
+            out["rate_scale"] = jnp.clip(
+                step_i.astype(jnp.float32) / float(rate_warmup_steps), 0.02, 1.0)
+        total, parts = loss_fn(x, out)
+        return total, parts
 
     def step(state: TrainState, coords, feats, valid, rng):
-        x = from_coords(coords, feats, valid, space_bits=sb)
         q_key, noise_key = jax.random.split(jax.random.fold_in(rng, state.step))
-        q, lam = qmap(x, q_key)
 
-        def objective(params):
-            out = model.apply(params, x, q, lam, training=True,
-                              rngs={"noise": noise_key})
-            total, parts = loss_fn(x, out)
-            return total, parts
+        if accum == 1:
+            def objective(params):
+                return loss_on(params, coords, feats, valid, q_key, noise_key,
+                               state.step)
 
-        (total, parts), grads = jax.value_and_grad(objective, has_aux=True)(state.params)
+            (total, parts), grads = jax.value_and_grad(objective, has_aux=True)(
+                state.params)
+        else:
+            B = coords.shape[0]
+            mb = B // accum
+            shaped = [a.reshape((accum, mb) + a.shape[1:])
+                      for a in (coords, feats, valid)]
+
+            def micro(carry, inputs):
+                grads_acc, tot_acc, parts_acc = carry
+                c, f, v, i = inputs
+                kq = jax.random.fold_in(q_key, i)
+                kn = jax.random.fold_in(noise_key, i)
+
+                def objective(params):
+                    return loss_on(params, c, f, v, kq, kn, state.step)
+
+                (t, p), g = jax.value_and_grad(objective, has_aux=True)(
+                    state.params)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, g)
+                parts_acc = jax.tree_util.tree_map(jnp.add, parts_acc, p)
+                return (grads_acc, tot_acc + t, parts_acc), None
+
+            zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (t0, p0), g0 = jax.value_and_grad(
+                lambda params: loss_on(params, shaped[0][0], shaped[1][0],
+                                       shaped[2][0], jax.random.fold_in(q_key, 0),
+                                       jax.random.fold_in(noise_key, 0),
+                                       state.step),
+                has_aux=True,
+            )(state.params)
+            idx = jnp.arange(1, accum)
+            (grads, total, parts), _ = jax.lax.scan(
+                micro, (g0, t0, p0),
+                (shaped[0][1:], shaped[1][1:], shaped[2][1:], idx))
+            inv = 1.0 / accum
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+            total = total * inv
+            parts = jax.tree_util.tree_map(lambda p: p * inv, parts)
+
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 

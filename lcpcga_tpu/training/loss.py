@@ -48,7 +48,12 @@ class BPPLoss:
         bits = 0.0
         for lik in liks:
             bits = bits + jnp.sum(jnp.log(lik)) / (-math.log(2) * num_points)
-        return bits * self.weight
+        # rate_scale: training-schedule multiplier (rate warm-up). The
+        # round-4 run collapsed the y latent to ~0 before the synthesis
+        # learned to use it — distortion-first training escapes that
+        # local optimum; the trainer ramps this 0 -> 1 over
+        # config.rate_warmup_steps (absent at eval => 1).
+        return bits * self.weight * pred.get("rate_scale", 1.0)
 
 
 class ColorLoss:

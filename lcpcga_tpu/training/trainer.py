@@ -92,6 +92,15 @@ class Training:
 
         # Per-axis coordinate bound of the training cubes: enables the
         # dense rank-volume lookup path in every step op (128^3 -> 7).
+        # Must cover every transform's block_size: a transform emitting
+        # coords >= 2**space_bits would make from_coords silently drop
+        # those rows as invalid (ADVICE r4 #5).
+        for tname, tcfg in (config.get("transforms", {}).get("train", {}) or {}).items():
+            bs = tcfg.get("block_size") if isinstance(tcfg, dict) else None
+            if bs is not None and int(bs) > int(cube):
+                raise ValueError(
+                    f"transform {tname!r} block_size={bs} exceeds cube_size="
+                    f"{cube}; coords would overflow the {cube}^3 space")
         self.space_bits = max(1, int(cube) - 1).bit_length()
 
         coords, feats, valid = next(iter(self.loader))
@@ -126,8 +135,12 @@ class Training:
             distributed_init()
         mesh = data_parallel_mesh() if use_mesh else None
         self.mesh = mesh
-        self.step_fn = make_train_step(self.model, self.loss, self.qmap, opt, aux_opt,
-                                       mesh=mesh, space_bits=self.space_bits)
+        self.step_fn = make_train_step(
+            self.model, self.loss, self.qmap, opt, aux_opt,
+            mesh=mesh, space_bits=self.space_bits,
+            rate_warmup_steps=int(config.get("rate_warmup_steps", 0)),
+            grad_accum=int(config.get("grad_accum", 1)),
+        )
         self.start_epoch = self.check_resume()
 
     # -- checkpointing (flax msgpack; /root/reference/train.py:287-319) --
@@ -161,7 +174,7 @@ class Training:
             # git-tracked). Optimizer state starts fresh — matches the
             # reference's load_state_dict-only resume of a weights file.
             mirror = self.config.get("weights_mirror")
-            if mirror and os.path.exists(mirror):
+            if mirror and os.path.exists(mirror) and self.config.get("warm_start", True):
                 with open(mirror, "rb") as f:
                     params = serialization.from_bytes(self.state.params, f.read())
                 self.state = self.state.replace(params=params)
@@ -201,18 +214,26 @@ class Training:
         import threading
 
         meter, aux_meter = AverageMeter(), AverageMeter()
+        part_meters: dict = {}
         t0 = time.time()
 
         q: "_queue.Queue" = _queue.Queue(maxsize=4)
 
         def _producer():
-            for coords, feats, valid in self.loader:
-                batch = (jnp.asarray(coords), jnp.asarray(feats),
-                         jnp.asarray(valid))
-                if self.mesh is not None:
-                    batch = shard_batch(self.mesh, batch)
-                q.put(batch)
-            q.put(None)
+            # Always terminate the queue: a loader/transform crash must
+            # re-raise in the consumer, not hang it (ADVICE r4 #1).
+            err = None
+            try:
+                for coords, feats, valid in self.loader:
+                    batch = (jnp.asarray(coords), jnp.asarray(feats),
+                             jnp.asarray(valid))
+                    if self.mesh is not None:
+                        batch = shard_batch(self.mesh, batch)
+                    q.put(batch)
+            except BaseException as e:  # noqa: BLE001 — carried to consumer
+                err = e
+            finally:
+                q.put(err)
 
         producer = threading.Thread(target=_producer, daemon=True)
         producer.start()
@@ -223,20 +244,34 @@ class Training:
             batch = q.get()
             if batch is None:
                 break
+            if isinstance(batch, BaseException):
+                producer.join()
+                raise batch
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, metrics = self.step_fn(self.state, *batch, step_rng)
             pending.append(metrics)
-            if len(pending) > lag:
-                m = pending.pop(0)
+
+            def _drain(m):
                 meter.update(float(m["loss"]))
                 aux_meter.update(float(m["aux_loss"]))
+                for k, v in m.items():
+                    if k in ("loss", "aux_loss"):
+                        continue
+                    part_meters.setdefault(k, AverageMeter()).update(float(v))
+
+            if len(pending) > lag:
+                _drain(pending.pop(0))
         for m in pending:
-            meter.update(float(m["loss"]))
-            aux_meter.update(float(m["aux_loss"]))
+            _drain(m)
         producer.join()
         dt = time.time() - t0
-        print(f"epoch {epoch}: loss={meter.avg:.4f} aux={aux_meter.avg:.4f} ({dt:.1f}s)")
-        return {"epoch": epoch, "loss": meter.avg, "aux_loss": aux_meter.avg, "time": dt}
+        parts = " ".join(f"{k}={m.avg:.3f}" for k, m in sorted(part_meters.items()))
+        print(f"epoch {epoch}: loss={meter.avg:.4f} aux={aux_meter.avg:.4f} "
+              f"({dt:.1f}s) {parts}", flush=True)
+        out = {"epoch": epoch, "loss": meter.avg, "aux_loss": aux_meter.avg,
+               "time": dt}
+        out.update({k: m.avg for k, m in part_meters.items()})
+        return out
 
     def validate(self, epoch: int, val_frames=None,
                  q_points=((0.2, 0.2), (0.2, 0.8), (0.8, 0.2), (0.8, 0.8)),

@@ -25,13 +25,22 @@ def main(epochs=40, num_frames=10):
 
     config = load_config(os.path.join(os.path.dirname(__file__), os.pardir,
                                       "configs", "ours.yaml"))
-    config["experiment_name"] = "synthetic_flagship"
+    config["experiment_name"] = os.environ.get("LCPCGA_EXP", "synthetic_flagship")
+    # Distortion-first rate warm-up (~3 epochs at batch 4): the round-4
+    # flat-weight run collapsed the y latent to zero (scales at the 0.11
+    # floor, occupancy cascade starved) before the synthesis could use
+    # it — see scripts/diag_loss_parts.py / diag_occupancy.py findings.
+    config["rate_warmup_steps"] = int(os.environ.get("LCPCGA_RATE_WARMUP", "1500"))
     config["epochs"] = epochs
     config["validate"] = True
     # Git-tracked weight mirror: results/ is gitignored scratch and the
     # round-2 trained weights were lost to an environment recycle.
     config["weights_mirror"] = os.path.join(
         os.path.dirname(__file__), os.pardir, "trained", "weights.msgpack")
+    # LCPCGA_FRESH=1: random init even if the mirror exists (used when a
+    # previous run converged to a degenerate optimum — round 5).
+    if os.environ.get("LCPCGA_FRESH"):
+        config["warm_start"] = False
     # 16GB v5e HBM budget: the fused fwd+bwd step at batch 8 x 8192 rows
     # needs ~40GB even with chunk rematerialization; 4 x 4096 fits
     # (median synthetic cube is ~2800 points).
