@@ -172,3 +172,70 @@ def pcqm(ref_ply: str, rec_ply: str, workdir: Optional[str] = None) -> float:
         if m:
             return float(m.group(1))
     raise RuntimeError(f"could not parse PCQM output:\n{proc.stdout}")
+
+
+def octree_baseline_roundtrip(coords: np.ndarray, colors: np.ndarray,
+                              rate: Dict) -> Dict:
+    """In-framework anchor codec: octree-coded downsampled geometry +
+    nearest-neighbor colors, Morton-delta + zlib color coding.
+
+    Stands in for the G-PCC anchor sweep when no tmc3 binary exists in
+    the environment (zero egress; VERDICT r4 next-round #5). Rate
+    points: ``scale`` (geometry downsample stride, 1 = lossless
+    geometry) and ``color_bits`` (uniform color quantization, <= 8).
+    Uses the SAME in-loop neighbor-context octree coder the learned
+    codec transmits latent coordinates with (coding/cpp/coder.cpp), so
+    geometry rate is honest; color residuals are Morton-ordered deltas
+    through zlib (a DEFLATE stand-in for RAHT — weaker than G-PCC,
+    which the BD tables must state).
+    """
+    import zlib
+
+    from scipy.spatial import cKDTree
+
+    from ..coding import octree_decode, octree_encode
+
+    scale = int(rate.get("scale", 1))
+    color_bits = int(rate.get("color_bits", 8))
+    depth = int(rate.get("depth", 10))
+
+    t0 = time.perf_counter()
+    qc = np.unique(coords // scale, axis=0)
+    d = depth - max(0, scale.bit_length() - 1)
+    geo_payload = octree_encode(qc.astype(np.int32), d)
+
+    # Reconstruction coordinate order = decoder order (Morton).
+    rec_q = octree_decode(geo_payload, d, max(4096, qc.shape[0] * 2))
+    rec_coords = rec_q * scale + scale // 2 if scale > 1 else rec_q
+
+    # Nearest-color transfer at the encoder, quantize, delta in the
+    # decoder's canonical (Morton / breadth-first octree) order.
+    tree = cKDTree(coords)
+    _, idx = tree.query(rec_coords.astype(np.float32), k=1, workers=-1)
+    c8 = np.clip(np.round(colors[idx] * 255.0), 0, 255).astype(np.int32)
+    q = 8 - color_bits
+    cq = c8 >> q
+    deltas = np.diff(cq, axis=0, prepend=np.zeros((1, 3), cq.dtype))
+    # mod-256 wrap: deltas span [-255, 255] at 8 bits; uint8 wrap is
+    # exact under mod-256 cumsum on the decoder.
+    color_payload = zlib.compress((deltas & 0xFF).astype(np.uint8).tobytes(), 9)
+    t1 = time.perf_counter()
+
+    # Decode: octree + zlib + prefix-sum (deltas) + dequantize.
+    rq = octree_decode(geo_payload, d, max(4096, qc.shape[0] * 2))
+    rc = rq * scale + scale // 2 if scale > 1 else rq
+    dd = np.frombuffer(zlib.decompress(color_payload), np.uint8).reshape(-1, 3)
+    cq_dec = np.cumsum(dd.astype(np.int64), axis=0) & 0xFF
+    rec_colors = (
+        ((cq_dec << q) + (1 << q) / 2 if q else cq_dec)
+    ).astype(np.float32) / 255.0
+    t2 = time.perf_counter()
+
+    n_bytes = len(geo_payload) + len(color_payload) + 8
+    return {
+        "coords": rc.astype(np.int32),
+        "colors": np.clip(rec_colors, 0.0, 1.0),
+        "bpp": n_bytes * 8.0 / coords.shape[0],
+        "t_compress": t1 - t0,
+        "t_decompress": t2 - t1,
+    }

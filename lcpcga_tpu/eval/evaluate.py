@@ -176,6 +176,32 @@ class TestsetRunner:
                 self._append_row(csv_path, row)
         return pd.DataFrame(self.rows)
 
+    def run_octree_baseline(self, frames: Iterable[Dict],
+                            rates: Iterable[Dict],
+                            experiment: str = "OctreeNN") -> pd.DataFrame:
+        """In-framework anchor sweep (octree geometry + nearest-color,
+        eval/anchors.octree_baseline_roundtrip) — the BD anchor when no
+        tmc3/tmc2 binary exists in the environment. Rate points:
+        {scale, color_bits, depth}."""
+        from .anchors import octree_baseline_roundtrip
+
+        csv_path = os.path.join(self.out_dir, "test.csv")
+        for frame in frames:
+            coords = frame["points"].astype(np.int32)
+            colors = frame["colors"].astype(np.float32)
+            for rate in rates:
+                r = octree_baseline_roundtrip(coords, colors, rate)
+                row = self._score(coords, colors, r["coords"], r["colors"])
+                row.update(
+                    bpp=r["bpp"], sequence=frame.get("sequence", "?"),
+                    frameIdx=frame.get("frame", 0),
+                    t_compress=r["t_compress"], t_decompress=r["t_decompress"],
+                    q_a=rate.get("color_bits", 8), q_g=rate.get("scale", 1),
+                )
+                self.rows.append(row)
+                self._append_row(csv_path, row)
+        return pd.DataFrame(self.rows)
+
     def run_gpcc(self, frames: Iterable[Dict], qps: Iterable[Dict],
                  experiment: str = "G-PCC") -> pd.DataFrame:
         if not have_gpcc():

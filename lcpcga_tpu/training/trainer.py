@@ -76,6 +76,11 @@ class Training:
             caps=(cap, cap, max(256, cap // 2), max(256, cap // 4),
                   max(256, cap // 8), max(256, cap // 8)),
             tile_fraction=config.get("tile_fraction", 0.7),
+            # Gather-based same-stride stacks in the fused train step:
+            # the tiled stacks are a decode-scale runtime win but make
+            # the (already long) train-program compile slower; numerics
+            # are path-equivalent (tests/test_tiles.py).
+            same_tile_fraction=float(config.get("same_tile_fraction", 0.0)),
             # Sparse analysis in the training step: the deeply-chunked
             # tiled analysis makes the fused train program pathologically
             # slow to compile; path choice is encoder-runtime-only.

@@ -25,9 +25,14 @@ WEIGHTS = os.path.join(_REPO, "results", "synthetic_flagship",
 if not os.path.exists(WEIGHTS):
     WEIGHTS = os.path.join(_REPO, "trained", "weights.msgpack")
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(WEIGHTS), reason="no trained weights exported"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.exists(WEIGHTS), reason="no trained weights exported"
+    ),
+    # Compiles the full codec (tiled + streamed variants) on CPU — ~1h.
+    # Run once per round with LCPCGA_HEAVY=1 before shipping weights.
+    pytest.mark.heavy,
+]
 
 
 @pytest.fixture(scope="module")
