@@ -683,20 +683,18 @@ def _build_halo(xp, nbrp, start, chunk, size, cin, B, Nt, pad_tiles):
     return jnp.concatenate(planes_x, axis=2)
 
 
-import os as _os
-
-
-def _use_pallas(cin: int, cout: int) -> bool:
-    """Opt-in Pallas fused-kernel dispatch (LCPCGA_PALLAS=1).
-
-    Gated to MXU-worthwhile widths; the q-branch 2-channel chains stay
-    on the XLA path. Off by default until the per-program compile cost
-    on the axon AOT helper is validated at full scale (STATUS.md)."""
-    if _os.environ.get("LCPCGA_PALLAS") != "1":
-        return False
-    if jax.default_backend() not in ("tpu",):
-        return False
-    return cin >= 16 and cout >= 16
+# Pallas fused-kernel dispatch: RETIRED (round 5). The fused tile-conv
+# kernels (rounds 2-3; commits 0c5626a, b0337b0, 5c69141) measured
+# 3.3 / 10.8 TF/s END-TO-END at C=64/128 vs 11.2 / 20.1 TF/s for the
+# XLA conv_general_dilated core on identical stages, despite a
+# kernel-alone upper bound of 25+ TF/s (scripts history:
+# exp_pallas_breakdown): the neighbor-slab gather XLA must materialize
+# AROUND the kernel dominated and the fusion saved less than the
+# gather cost. Closing decision per VERDICT r4 #4: XLA wins; the
+# LCPCGA_PALLAS flag and kernel library were deleted. A future win
+# would need the gather INSIDE the kernel (scalar-prefetched per-tile
+# DMA pipelines from an HBM row table), which trades ~6.5M small DMAs
+# per stage against a working 20 TF/s core — not attempted.
 
 
 # Trace-time flag: decode-only programs (codec_runtime's synthesis /
@@ -788,12 +786,6 @@ def transpose_dense_conv(
     pcells = psize**3
     csize = 2 * psize
     ccells = csize**3
-    if _use_pallas(Cin, Cout) and mask is not None:
-        from . import pallas_conv as PC
-
-        return PC.tile_conv(pfeats, nbr_rows, kernel, bias,
-                            mask.astype(jnp.bfloat16), size=psize,
-                            transpose=True)
     kern = kernel.astype(compute_dtype)
 
     x = pfeats.astype(compute_dtype)
@@ -891,12 +883,6 @@ def dense_conv(
     assert FC % Cin == 0, (FC, Cin)
     size = _size_from_cells(FC // Cin)
     cells = size**3
-    if _use_pallas(Cin, Cout) and mask is not None:
-        from . import pallas_conv as PC
-
-        return PC.tile_conv(feats, nbr_rows, kernel, bias,
-                            mask.astype(jnp.bfloat16), size=size,
-                            relu=relu, flip=flip)
     kern = (kernel[::-1] if flip else kernel).astype(compute_dtype)
 
     x = feats.astype(compute_dtype)
@@ -1169,11 +1155,6 @@ def dense_conv2(
     assert FC % Cin == 0, (FC, Cin)
     size = _size_from_cells(FC // Cin)
     cells = size**3
-    if _use_pallas(Cin, Cout) and mask is not None:
-        from . import pallas_conv as PC
-
-        return PC.tile_conv2(feats, nbr_rows, kernel8, bias,
-                             mask.astype(jnp.bfloat16), size=size, relu=relu)
     kern = kernel8.astype(compute_dtype)
     x = feats.astype(compute_dtype)
 

@@ -64,7 +64,7 @@ def main(n_tiles=229376, cin=128, cout=128, only=None):
         report("v0 current", t(v0, feats))
 
     if "p0" in only:
-        from lcpcga_tpu.ops import pallas_conv as PC
+        raise SystemExit('pallas kernels retired in round 5 (see ops/tiles.py note)')
 
         maskf = mask.astype(jnp.bfloat16)
         p0 = jax.jit(lambda f: PC.tile_conv(f, nbr, W, bias, maskf, size=4))
@@ -288,7 +288,7 @@ def main(n_tiles=229376, cin=128, cout=128, only=None):
         report("t0 current", t(t0, pfeats))
 
     if "pt" in only:
-        from lcpcga_tpu.ops import pallas_conv as PC
+        raise SystemExit('pallas kernels retired in round 5 (see ops/tiles.py note)')
 
         maskf = mask.astype(jnp.bfloat16)
         pt = jax.jit(lambda f: PC.tile_conv(f, nbr, W, bias, maskf, size=2,

@@ -115,7 +115,7 @@ def main(Nt=40960, cin=64, variants="v0,v3,p0"):
         bench("v3 xla conv3d", jax.jit(v3_wrap), sets, flops=flops)
 
     if "p0" in only:
-        from lcpcga_tpu.ops import pallas_conv as PC
+        raise SystemExit('pallas kernels retired in round 5 (see ops/tiles.py note)')
 
         p0 = jax.jit(lambda f, n, m: PC.tile_conv(
             f, n, kern, bias, m.astype(jnp.bfloat16), size=size, relu=True))
