@@ -319,7 +319,15 @@ def expand_coords(st: SparseTensor, capacity: int, kernel_size: int = 3):
     K = offs.shape[0]
 
     # Candidates clip to the tensor's coordinate space (matches the
-    # tiled path's cell_span clipping for small spaces).
+    # tiled path's cell_span clipping for small spaces). INTENTIONAL
+    # divergence from the reference's unbounded ME candidate
+    # enumeration (ADVICE r4 #3): in training (128^3 cubes,
+    # space_bits=7) candidates of parents at coord 126/127 that fall
+    # outside the cube are dropped instead of scored as focal-loss
+    # negatives. Those cells can never be ground truth (the cube is
+    # clipped to the same bound) and are < 0.1% of candidates on
+    # surface crops; keeping them would force the slower unbounded key
+    # space on every training membership op.
     cells = 1 << (3 * st.space_bits)
 
     def per_item(keys):
