@@ -183,12 +183,13 @@ def compute_times(results: Dict[str, pd.DataFrame]) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
-def plot_experiments(results_root: str, experiments: Sequence[str], out_dir: str):
+def plot_experiments(results_root: str, experiments: Sequence[str], out_dir: str,
+                     anchor: str = "G-PCC"):
     """Top-level driver (/root/reference/plot.py:107-125)."""
     results = load_results(results_root, experiments)
     os.makedirs(out_dir, exist_ok=True)
     plot_rd_curves(results, os.path.join(out_dir, "rd"))
-    deltas = compute_bd_deltas(results)
+    deltas = compute_bd_deltas(results, anchor=anchor)
     if len(deltas):
         deltas.to_csv(os.path.join(out_dir, "bd_deltas.csv"), index=False)
     times = compute_times(results)

@@ -86,9 +86,17 @@ def main(n_frames=4, grid_steps=21, n_points=700_000):
     out_root = os.path.join(REPO, "results", "sweep_r5")
     t0 = time.time()
 
-    # Ours.
+    # Ours. Always include the paper's 4 BD operating points (the grid
+    # only contains them at 21 steps; reduced grids would otherwise
+    # produce no BD rows — plots.BD_POINTS is (q_g, q_a) while the grid
+    # list is (q_a, q_g)).
+    from lcpcga_tpu.eval.plots import BD_POINTS
+
     runner = TestsetRunner(os.path.join(out_root, "Ours"))
     grid = default_q_grid(grid_steps)
+    for (qg, qa) in BD_POINTS:
+        if (qa, qg) not in grid:
+            grid.append((qa, qg))
     df = runner.run_ours(codec, frames, grid)
     t_ours = time.time() - t0
     print(f"Ours sweep: {len(df)} rows in {t_ours/60:.1f} min", flush=True)
@@ -109,8 +117,15 @@ def main(n_frames=4, grid_steps=21, n_points=700_000):
     # Plots + BD.
     from lcpcga_tpu.eval.plots import plot_experiments
 
-    plot_experiments(out_root, ["Ours", "OctreeNN"],
-                     os.path.join(out_root, "plots"))
+    results = plot_experiments(out_root, ["Ours", "OctreeNN"],
+                               os.path.join(out_root, "plots"),
+                               anchor="OctreeNN")
+    # Contour maps over the full grid for the first frame.
+    from lcpcga_tpu.eval.plots import plot_contours
+
+    if grid_steps >= 5:
+        plot_contours(results["Ours"], os.path.join(out_root, "plots"),
+                      frames[0]["sequence"])
     total = time.time() - t0
     with open(os.path.join(out_root, "SWEEP_SUMMARY.json"), "w") as f:
         json.dump({
