@@ -31,6 +31,7 @@ ITERS = 3
 DEADLINE_S = float(os.environ.get("LCPCGA_BENCH_DEADLINE_S", "1380"))
 _T0 = time.time()
 _BEST = {}  # filled with (enc_list, dec_list, bpp) as results arrive
+STRICT_USED = [False]
 
 
 def _log(msg):
@@ -71,6 +72,7 @@ def _print_result(enc, dec, bpp, trained, backend, partial=False):
         "t_decode_s": round(t_dec, 4),
         ("bpp" if trained else "bpp_random_weights"): round(bpp, 3),
         "weights": "trained" if trained else "random",
+        "strict_overflow": STRICT_USED[0],
         "backend": backend,
         "iters": len(enc),
     }
@@ -109,6 +111,21 @@ def main():
     caps = dataclasses.replace(
         Capacities.for_cloud(coords, margin=1.2), same_tile_fraction=1.05
     )
+    # Weight-aware fraction calibration (scripts/calibrate_caps.py):
+    # tile grids sized to the TRAINED model's top-k spread instead of
+    # the round-2 random-weight measurements — smaller grids mean less
+    # conv padding AND a strict (zero-overflow) decode.
+    calib_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "results", "capacity_calibration.json")
+    calibrated = False
+    if os.path.exists(calib_path):
+        with open(calib_path) as f:
+            rec = json.load(f).get("recommended", {})
+        if rec:
+            caps = dataclasses.replace(
+                caps, **{k: float(v) for k, v in rec.items()})
+            calibrated = True
+            _log(f"calibrated fractions: {rec}")
     model = ColorModel(caps=caps)
 
     cap1 = caps.cap(1)
@@ -141,15 +158,34 @@ def main():
             trained = True
             break
 
-    codec = PointCloudCodec(model, params, strict_overflow=False)
-    _log("codec built; update() ...")
+    # Strict overflow when the profile was calibrated for these trained
+    # weights (VERDICT r4 weak #2: timing must hold for a COMPLETE
+    # reconstruction); random weights / uncalibrated runs keep the
+    # warning downgrade because their top-k spread exceeds any surface
+    # profile.
+    strict = trained and calibrated
+    STRICT_USED[0] = strict
+    codec = PointCloudCodec(model, params, strict_overflow=strict)
+    _log(f"codec built (strict_overflow={strict}); update() ...")
     codec.update()
     _log("update done; warmup (compile) ...")
 
     backend = jax.default_backend()
     # Warmup (compile).
     for _ in range(WARMUP):
-        r = codec.timed_roundtrip(coords, colors, (0.2, 0.4))
+        try:
+            r = codec.timed_roundtrip(coords, colors, (0.2, 0.4))
+        except RuntimeError as e:
+            if "overflow" not in str(e) or not strict:
+                raise
+            # Calibration did not cover this content: retry non-strict
+            # and say so in the result rather than losing the bench.
+            _log(f"strict decode overflowed ({e}); retrying non-strict")
+            strict = False
+            STRICT_USED[0] = False
+            codec = PointCloudCodec(model, params, strict_overflow=False)
+            codec.update()
+            r = codec.timed_roundtrip(coords, colors, (0.2, 0.4))
         # Warmup timings are compile-inclusive — only used if nothing
         # better lands before the deadline.
         _BEST.update(enc=[r["t_compress"]], dec=[r["t_decompress"]],
