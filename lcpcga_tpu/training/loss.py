@@ -89,6 +89,14 @@ class MultiscaleFocalLoss:
         self.identifier = config["id"]
         self.alpha = config.get("alpha", 0.5)
         self.gamma = config.get("gamma", 2.0)
+        # Optional boost (default 1.0 = reference semantics). The color
+        # term (λ_A ≤ 6400) outweighs the geometry term (λ_G ≤ 200) by
+        # ~30x on shared features, but color loss at uncovered GT
+        # points contributes ZERO gradient (features_at misses), so
+        # color fidelity is gated on occupancy coverage converging
+        # first — a geometry-first weight accelerates that (round-5
+        # training schedule; see STATUS.md).
+        self.weight = config.get("weight", 1.0)
 
     def __call__(self, gt: SparseTensor, pred: Dict[str, Any]) -> jax.Array:
         predictions = pred["occ_predictions"]  # [occ4, occ2, occ1]
@@ -116,7 +124,7 @@ class MultiscaleFocalLoss:
             # Downsample λ-map for the next (coarser) scale.
             lam_out, lam_nbr = downsample_map(lam, lam.capacity)
             lam = avg_pool(lam, lam_out, lam_nbr)
-        return loss
+        return loss * self.weight
 
 
 class FocalLoss:

@@ -31,6 +31,13 @@ def main(epochs=40, num_frames=10):
     # floor, occupancy cascade starved) before the synthesis could use
     # it — see scripts/diag_loss_parts.py / diag_occupancy.py findings.
     config["rate_warmup_steps"] = int(os.environ.get("LCPCGA_RATE_WARMUP", "1500"))
+    # Geometry-first boost: color fidelity is gated on occupancy
+    # coverage (misses carry zero color gradient) and the focal term is
+    # ~30x lighter than the color term on shared features; a boosted
+    # focal weight accelerates the cascade (training/loss.py note).
+    boost = float(os.environ.get("LCPCGA_FOCAL_BOOST", "0"))
+    if boost > 0:
+        config["loss"]["Multiscale_FocalLoss"]["weight"] = boost
     config["epochs"] = epochs
     config["validate"] = True
     # Git-tracked weight mirror: results/ is gitignored scratch and the
