@@ -18,12 +18,15 @@ import numpy as np
 import pytest
 
 _REPO = os.path.join(os.path.dirname(__file__), os.pardir)
-# Prefer the live training export; fall back to the durable git-tracked
-# mirror so the regression runs in fresh environments too.
-WEIGHTS = os.path.join(_REPO, "results", "synthetic_flagship",
-                       "weights.msgpack")
-if not os.path.exists(WEIGHTS):
-    WEIGHTS = os.path.join(_REPO, "trained", "weights.msgpack")
+# Weight preference: explicit override > live training exports (newest
+# experiment first) > the durable git-tracked mirror (fresh envs).
+_CANDIDATES = [
+    os.environ.get("LCPCGA_WEIGHTS", ""),
+    os.path.join(_REPO, "results", "synthetic_v5", "weights.msgpack"),
+    os.path.join(_REPO, "results", "synthetic_flagship", "weights.msgpack"),
+    os.path.join(_REPO, "trained", "weights.msgpack"),
+]
+WEIGHTS = next((p for p in _CANDIDATES if p and os.path.exists(p)), _CANDIDATES[-1])
 
 pytestmark = [
     pytest.mark.skipif(
