@@ -134,11 +134,20 @@ class TestsetRunner:
                     if save_streams else None
                 )
                 t0 = time.perf_counter()
-                stream, _ = codec.compress(coords, colors, (q_g, q_a), path=path,
-                                           return_debug=False)
-                t1 = time.perf_counter()
-                rec_coords, rec_colors = codec.decompress(stream)
-                t2 = time.perf_counter()
+                try:
+                    stream, _ = codec.compress(coords, colors, (q_g, q_a),
+                                               path=path, return_debug=False)
+                    t1 = time.perf_counter()
+                    rec_coords, rec_colors = codec.decompress(stream)
+                    t2 = time.perf_counter()
+                except RuntimeError as e:
+                    if "overflow" not in str(e):
+                        raise
+                    # A strict-capacity overflow at one rate point must
+                    # not kill an unattended sweep; record and continue.
+                    print(f"[sweep] OVERFLOW {frame.get('sequence')} "
+                          f"q=({q_g},{q_a}): {e}", flush=True)
+                    continue
                 row = self._score(coords, colors, rec_coords, rec_colors)
                 row.update(
                     bpp=len(stream.to_bytes()) * 8.0 / coords.shape[0],
