@@ -72,11 +72,28 @@ def main():
     coords, colors = body_cloud(N, resolution=1024, seed=4_201)
     print(f"cloud: {coords.shape[0]} points", flush=True)
 
+    # Exact per-stride occupancy (margin-1.0 denominators): recommended
+    # fractions are then profile-independent — any Capacities with
+    # margin >= 1.05 satisfies them (cap(s) = margin * exact(s)).
+    exact = {}
+    for level in range(6):
+        s_ = 1 << level
+        exact[s_] = (len(np.unique(coords // s_, axis=0))
+                     if s_ > 1 else coords.shape[0])
+
     # Loose calibration profile.
+    # Loose-but-HBM-safe: margin 1.5 + 1.5x tile buffers OOMed 16GB at
+    # 780k; these bounds exceed every round-4 measured live count while
+    # fitting (the measurement reads LIVE counts, not caps, so caps only
+    # need to not overflow).
+    # Round-4-proven HBM-safe profile (BENCH_r04 ran it): live counts
+    # are measured, caps only bound the buffers. If a stage overflows,
+    # its warning appears in the log and the fractions for that stage
+    # are lower bounds.
     caps = dataclasses.replace(
-        Capacities.for_cloud(coords, margin=1.5),
-        tile_fraction=1.0, same_tile_fraction=1.5, post_tile_fraction=1.5,
-        cand_factor=27,
+        Capacities.for_cloud(coords, margin=1.2),
+        tile_fraction=0.62, same_tile_fraction=1.05, post_tile_fraction=1.05,
+        cand_factor=18,
     )
     cfg_path = os.path.join(REPO, "configs", "ours.yaml")
     config = load_config(cfg_path)
@@ -104,7 +121,7 @@ def main():
     # with q, and the shipped fractions must cover the whole sweep.
     for (qg, qa) in [(0.05, 0.1), (0.4, 0.8), (1.0, 1.0)]:
         t0 = time.time()
-        stream = codec.compress(coords, colors, (qg, qa))
+        stream, _ = codec.compress(coords, colors, (qg, qa))
         # Staged decode with per-stage coordinate fetches.
         from lcpcga_tpu.coding import octree_decode
         from lcpcga_tpu.codec_runtime import LATENT_STRIDE
@@ -179,16 +196,16 @@ def main():
             },
             "t": round(time.time() - t0, 1),
         }
-        # implied fractions vs this profile's cap() denominators
+        # implied fractions vs EXACT occupancy denominators
         row["frac"] = {
             "tile_fraction": max(
-                row["up_tiles"]["8"] / caps.cap(8),
-                row["up_tiles"]["4"] / caps.cap(4),
-                row["up_tiles"]["2"] / caps.cap(2)),
+                row["up_tiles"]["8"] / exact[8],
+                row["up_tiles"]["4"] / exact[4],
+                row["up_tiles"]["2"] / exact[2]),
             "same_tile_fraction": max(
-                row["same_tiles"]["4"] / caps.cap(16),
-                row["same_tiles"]["2"] / caps.cap(8)),
-            "post_tile_fraction": row["same_tiles"]["1"] / caps.cap(4),
+                row["same_tiles"]["4"] / exact[16],
+                row["same_tiles"]["2"] / exact[8]),
+            "post_tile_fraction": row["same_tiles"]["1"] / exact[4],
         }
         stats["per_q"][f"{qg},{qa}"] = row
         print(json.dumps({f"{qg},{qa}": row}), flush=True)
