@@ -213,7 +213,10 @@ def main():
     worst = {k: max(r["frac"][k] for r in stats["per_q"].values())
              for k in ("tile_fraction", "same_tile_fraction",
                        "post_tile_fraction")}
-    rec = {k: round(v * 1.2, 3) for k, v in worst.items()}
+    # Consumer profiles have cap(s) = margin * exact(s) with margin >=
+    # 1.1; measured fractions are exact-denominated, so the needed
+    # cap-denominated fraction is measured / margin_min * safety.
+    rec = {k: round(v / 1.1 * 1.15, 3) for k, v in worst.items()}
     stats["measured_max"] = worst
     stats["recommended"] = rec
     out = os.path.join(REPO, "results", "capacity_calibration.json")
