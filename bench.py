@@ -115,17 +115,24 @@ def main():
     # tile grids sized to the TRAINED model's top-k spread instead of
     # the round-2 random-weight measurements — smaller grids mean less
     # conv padding AND a strict (zero-overflow) decode.
-    calib_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "results", "capacity_calibration.json")
+    here_ = os.path.dirname(os.path.abspath(__file__))
     calibrated = False
-    if os.path.exists(calib_path):
+    for calib_path in (
+        os.path.join(here_, "results", "capacity_calibration.json"),
+        # Tracked mirror: results/ is gitignored, so a fresh checkout
+        # keeps only this copy (written alongside by calibrate_caps.py).
+        os.path.join(here_, "trained", "capacity_calibration.json"),
+    ):
+        if not os.path.exists(calib_path):
+            continue
         with open(calib_path) as f:
             rec = json.load(f).get("recommended", {})
         if rec:
             caps = dataclasses.replace(
                 caps, **{k: float(v) for k, v in rec.items()})
             calibrated = True
-            _log(f"calibrated fractions: {rec}")
+            _log(f"calibrated fractions ({calib_path}): {rec}")
+            break
     model = ColorModel(caps=caps)
 
     cap1 = caps.cap(1)

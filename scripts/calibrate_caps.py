@@ -219,10 +219,14 @@ def main():
     rec = {k: round(v / 1.1 * 1.15, 3) for k, v in worst.items()}
     stats["measured_max"] = worst
     stats["recommended"] = rec
-    out = os.path.join(REPO, "results", "capacity_calibration.json")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    with open(out, "w") as f:
-        json.dump(stats, f, indent=1)
+    # results/ is gitignored — also mirror to the tracked trained/ dir
+    # so a fresh checkout keeps the calibration (round-5: a workspace
+    # reset dropped results/ and bench fell back to non-strict).
+    for out in (os.path.join(REPO, "results", "capacity_calibration.json"),
+                os.path.join(REPO, "trained", "capacity_calibration.json")):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        with open(out, "w") as f:
+            json.dump(stats, f, indent=1)
     print("RECOMMENDED", json.dumps(rec), flush=True)
 
 

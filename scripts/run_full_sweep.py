@@ -57,12 +57,15 @@ def main(n_frames=4, grid_steps=21, n_points=700_000):
     n_max = max(f["points"].shape[0] for f in frames)
     caps = Capacities.bucketed(n_max, margin=1.1)
     # Calibrated fractions, if scripts/calibrate_caps.py has run.
-    calib = os.path.join(REPO, "results", "capacity_calibration.json")
-    if os.path.exists(calib):
-        with open(calib) as f:
-            rec = json.load(f)["recommended"]
-        caps = dataclasses.replace(caps, **{k: float(v) for k, v in rec.items()})
-        print(f"calibrated fractions: {rec}", flush=True)
+    for calib in (os.path.join(REPO, "results", "capacity_calibration.json"),
+                  os.path.join(REPO, "trained", "capacity_calibration.json")):
+        if os.path.exists(calib):
+            with open(calib) as f:
+                rec = json.load(f)["recommended"]
+            caps = dataclasses.replace(
+                caps, **{k: float(v) for k, v in rec.items()})
+            print(f"calibrated fractions: {rec}", flush=True)
+            break
 
     model = make_model(config["model"], caps)
     cs, cols = surface_cloud(500, resolution=256, seed=1)
