@@ -108,8 +108,12 @@ def main():
     # frames use Capacities.bucketed instead (compile once per bucket).
     import dataclasses
 
+    # margin 1.1: the calibrated fractions below are denominated for a
+    # margin>=1.05 profile (scripts/calibrate_caps.py); margin 1.2 made
+    # the stage-c upsample grid 0.669*1.2*exact(2) tiles -> 3x 3.11 GB
+    # bf16 candidate tensors -> 17.25G HBM OOM on the 16G v5e.
     caps = dataclasses.replace(
-        Capacities.for_cloud(coords, margin=1.2), same_tile_fraction=1.05
+        Capacities.for_cloud(coords, margin=1.1), same_tile_fraction=1.05
     )
     # Weight-aware fraction calibration (scripts/calibrate_caps.py):
     # tile grids sized to the TRAINED model's top-k spread instead of
